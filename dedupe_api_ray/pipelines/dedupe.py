@@ -1,0 +1,160 @@
+"""The flagship pipeline: ``partition`` — dedupe a Dataset of records.
+
+Mirrors dedupe:dedupe/api.py::Dedupe.partition † (E3 flow, SURVEY.md
+§3): pairs(data) → score(pairs) → cluster(scores, threshold), with the
+dedupe-api exact-duplicate collapse (M5 †: identical records are
+grouped by content hash first, only representatives enter fuzzy
+matching, duplicates rejoin afterwards).
+
+Every stage is a Ray Data transform; each can checkpoint to
+per-partition Parquet with a lineage manifest (state.checkpoint) so a
+run resumes mid-pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from dedupe_api_ray.model import Model
+from dedupe_api_ray.stages.blocking import (candidate_pairs,
+                                            fingerprint_records,
+                                            prepare_records)
+from dedupe_api_ray.stages.clustering import cluster_scored_pairs
+from dedupe_api_ray.stages.scoring import attach_payload, score_pairs
+from dedupe_api_ray.state.checkpoint import CheckpointManager, fingerprint_of
+
+
+def add_row_hash(ds: ray.data.Dataset, fields: list[str],
+                 out_col: str = "row_hash") -> ray.data.Dataset:
+    """M5 †: content hash over the declared fields (post-normalize)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = [batch[f].to_pylist() for f in fields]
+        hashes = []
+        for vals in zip(*cols):
+            h = hashlib.blake2b(digest_size=8)
+            for v in vals:
+                h.update(repr(v).encode())
+                h.update(b"\x1f")
+            hashes.append(int.from_bytes(h.digest(), "big") & 0x7FFFFFFFFFFFFFFF)
+        return batch.append_column(out_col, pa.array(hashes, pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def partition(records: ray.data.Dataset, model: Model,
+              threshold: float = 0.5, *,
+              id_col: str = "record_id",
+              ckpt_dir: str | None = None,
+              max_block_size: int = 500,
+              hard_cap: int = 20_000,
+              scorer_concurrency: int | tuple = 8,
+              cc_mode: str = "auto",
+              exact_collapse: bool = True,
+              num_partitions: int = 64) -> ray.data.Dataset:
+    """records → entity map (record_id, cluster_id, confidence).
+
+    Singletons get cluster_id = record_id, confidence 1.0; cluster_id
+    is the min record_id of the cluster (deterministic across
+    parallelism — SURVEY.md §4.6).
+    """
+    ckpt = CheckpointManager(ckpt_dir)
+    model_fp = fingerprint_of(
+        [f.__dict__ for f in model.field_defs],
+        [p.pred_id for p in model.predicates],
+        model.weights.tolist(), model.bias, threshold)
+
+    prepared = ckpt.run_stage(
+        "records", fingerprint_of(model_fp, "records"),
+        lambda: prepare_records(records, model.field_defs, id_col))
+
+    fuzzy_input = prepared
+    dupes_map = None  # row_hash duplicates folded out before matching
+    if exact_collapse:
+        fields = sorted({f.field for f in model.field_defs
+                         if f.type != "Interaction"})
+        hashed = add_row_hash(prepared, fields)
+        hashed = hashed.materialize()
+        # representative = min record_id per row_hash
+        reps = hashed.groupby("row_hash").min(id_col)
+        reps = reps.map_batches(
+            lambda t: t.rename_columns(["row_hash", "rep_id"]),
+            batch_format="pyarrow")
+        joined = hashed.join(reps, join_type="inner",
+                             num_partitions=num_partitions, on=("row_hash",))
+        joined = joined.materialize()
+        dupes_map = joined.map_batches(
+            lambda t: t.filter(pc.not_equal(t[id_col], t["rep_id"]))
+            .select([id_col, "rep_id"]), batch_format="pyarrow")
+        fuzzy_input = joined.map_batches(
+            lambda t: t.filter(pc.equal(t[id_col], t["rep_id"]))
+            .drop_columns(["row_hash", "rep_id"]), batch_format="pyarrow")
+
+    fuzzy_input = fuzzy_input.materialize()
+
+    blocking_map = ckpt.run_stage(
+        "blocking_map", fingerprint_of(model_fp, "blocking_map"),
+        lambda: fingerprint_records(fuzzy_input, model))
+
+    pairs = ckpt.run_stage(
+        "pairs", fingerprint_of(model_fp, "pairs", max_block_size, hard_cap),
+        lambda: candidate_pairs(blocking_map, max_block_size=max_block_size,
+                                hard_cap=hard_cap))
+
+    def do_score():
+        with_payload = attach_payload(pairs, fuzzy_input, model,
+                                      num_partitions=num_partitions)
+        return score_pairs(with_payload, model,
+                           concurrency=scorer_concurrency)
+
+    scored = ckpt.run_stage(
+        "scores", fingerprint_of(model_fp, "scores"), do_score)
+
+    clustered = cluster_scored_pairs(scored, threshold=threshold,
+                                     cc_mode=cc_mode)
+    clustered = clustered.materialize()
+
+    # singletons: records with no above-threshold edge
+    all_ids = fuzzy_input.select_columns([id_col])
+    assigned = clustered.map_batches(
+        lambda t: t.rename_columns(["__rid", "cluster_id", "confidence"]),
+        batch_format="pyarrow")
+    left = all_ids.join(assigned, join_type="left_outer",
+                        num_partitions=num_partitions,
+                        on=(id_col,), right_on=("__rid",))
+
+    def fill_singletons(batch: pa.Table) -> pa.Table:
+        rid = batch[id_col]
+        cid = pc.coalesce(batch["cluster_id"], rid)
+        conf = pc.coalesce(batch["confidence"], pa.scalar(1.0, pa.float64()))
+        return pa.table({"record_id": rid, "cluster_id": cid,
+                         "confidence": conf})
+
+    entity_map = left.map_batches(fill_singletons, batch_format="pyarrow")
+
+    if exact_collapse and dupes_map is not None:
+        # duplicates rejoin with their representative's cluster (M5 †);
+        # confidence 1.0 (byte-identical content).
+        rep_assign = entity_map.map_batches(
+            lambda t: t.rename_columns(["rep_id", "cluster_id", "confidence"]),
+            batch_format="pyarrow")
+        dup_rows = dupes_map.join(rep_assign, join_type="inner",
+                                  num_partitions=num_partitions,
+                                  on=("rep_id",))
+        dup_rows = dup_rows.map_batches(
+            lambda t: pa.table({
+                "record_id": t[id_col],
+                "cluster_id": t["cluster_id"],
+                "confidence": pa.array(np.ones(len(t)), pa.float64()),
+            }), batch_format="pyarrow")
+        entity_map = entity_map.union(dup_rows)
+
+    if ckpt_dir:
+        entity_map = ckpt.run_stage(
+            "entity_map", fingerprint_of(model_fp, "entity_map"),
+            lambda: entity_map)
+    return entity_map

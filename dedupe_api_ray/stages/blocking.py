@@ -1,0 +1,197 @@
+"""Blocking stages: record prep, fingerprinting (block-key emission),
+hot-key salting and candidate-pair generation.
+
+Reference flow (†, SURVEY.md §2.3/§2.5): dedupe:dedupe/blocking.py::
+Fingerprinter emits (block_key, record_id) for the learned predicate
+union; dedupe:dedupe/api.py::Dedupe.pairs runs the SQL-style
+``SELECT DISTINCT ordered pairs FROM blocking_map self-join``.
+
+Ray-Data shapes:
+- prep + fingerprint = stateless/actor ``map_batches`` (predicate
+  evaluation is per-record Python by nature — same as the reference —
+  but tokens are hoisted and the model is broadcast via ``ray.put``);
+- pair generation = ``groupby(block_key).map_groups`` (first shuffle)
+  followed by a pair-distinct groupby (second shuffle);
+- hot keys: counts above ``max_block_size`` are split into sub-blocks
+  by ``record_id % k`` and every cross-sub-block (i, j) group is
+  enumerated so no pair is lost ("skew-salted hot-block splitting",
+  BASELINE.json north_star); keys above ``hard_cap`` are dropped like
+  a stopword (explicit at web scale; the reference only avoids this
+  implicitly through block learning †, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from dedupe_api_ray.functions.text import normalize_array, tokenize_array
+from dedupe_api_ray.model import Model, _record_keys
+
+
+def prepare_records(ds: ray.data.Dataset, field_defs, id_col: str = "record_id"
+                    ) -> ray.data.Dataset:
+    """M1: vectorized preProcess of every string field + hoisted
+    tokens columns (``<field>__tokens``) for Text/Set-over-text use."""
+    string_fields = [f.field for f in field_defs
+                     if f.type in ("String", "ShortString", "Text")]
+    token_fields = [f.field for f in field_defs if f.type == "Text"]
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {name: batch[name] for name in batch.column_names}
+        for name in string_fields:
+            cols[name] = normalize_array(cols[name])
+        for name in token_fields:
+            cols[f"{name}__tokens"] = tokenize_array(cols[name])
+        return pa.table(cols)
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+class Fingerprinter:
+    """Actor-pool map_batches callable emitting the blocking map.
+
+    State (the model's predicate union) is fetched once per actor from
+    the object store; per batch it evaluates the union per record and
+    explodes to (block_key, record_id) rows, keys tagged
+    ``{pred_index}:{key}`` (reference '{}:{}' tagging †)."""
+
+    def __init__(self, model_ref):
+        self.model: Model = ray.get(model_ref) if isinstance(
+            model_ref, ray.ObjectRef) else model_ref
+        self.specs = [(i, s) for i, s in enumerate(self.model.predicates)
+                      if s.kind in ("simple", "compound")]
+        self.fields = sorted({f.field for f in self.model.field_defs
+                              if f.type != "Interaction"})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        rids = batch["record_id"].to_pylist()
+        cols = {}
+        names = set(batch.column_names)
+        for f in self.fields:
+            if f in names:
+                cols[f] = batch[f].to_pylist()
+            tk = f"{f}__tokens"
+            if tk in names:
+                cols[tk] = batch[tk].to_pylist()
+        out_keys: list[str] = []
+        out_ids: list[int] = []
+        for r in range(n):
+            rec = {k: v[r] for k, v in cols.items()}
+            for idx, spec in self.specs:
+                for k in _record_keys(spec, rec):
+                    out_keys.append(f"{idx}:{k}")
+                    out_ids.append(rids[r])
+        return pa.table({
+            "block_key": pa.array(out_keys, pa.string()),
+            "record_id": pa.array(out_ids, pa.int64()),
+        })
+
+
+def fingerprint_records(records: ray.data.Dataset, model: Model,
+                        concurrency: int | tuple = 4) -> ray.data.Dataset:
+    model_ref = ray.put(model)
+    return records.map_batches(
+        Fingerprinter, fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Candidate pairs with skew-salted hot blocks (J1/J2 + §4.2)
+# ---------------------------------------------------------------------------
+
+
+def _emit_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One (possibly salted) block group → ordered candidate pairs.
+    For a salted group '…#i.j' with i<j only cross-sub-block pairs are
+    emitted (within-sub pairs come from the (i,i) group), keeping the
+    enumeration lossless."""
+    key = g["block_key"].iloc[0]
+    sub = g["sub"].to_numpy()
+    ids = g["record_id"].to_numpy()
+    if "#" in key:
+        i_s, j_s = key.rsplit("#", 1)[1].split(".")
+        i, j = int(i_s), int(j_s)
+    else:
+        i = j = 0
+    if i == j:
+        members = np.unique(ids[sub == i] if "#" in key else ids)
+        if len(members) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
+        ia, ib = np.triu_indices(len(members), k=1)
+        return pd.DataFrame({"id_a": members[ia], "id_b": members[ib]})
+    left = np.unique(ids[sub == i])
+    right = np.unique(ids[sub == j])
+    if len(left) == 0 or len(right) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
+    aa = np.repeat(left, len(right))
+    bb = np.tile(right, len(left))
+    lo = np.minimum(aa, bb)
+    hi = np.maximum(aa, bb)
+    return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+
+def candidate_pairs(blocking_map: ray.data.Dataset,
+                    max_block_size: int = 500,
+                    hard_cap: int = 20_000) -> ray.data.Dataset:
+    """blocking_map (block_key, record_id) → distinct ordered pairs.
+
+    1. per-key counts (small aggregate); keys with count > hard_cap
+       are DROPPED (stopword rule, logged in the returned dataset's
+       lineage via metrics upstream), keys with count > max_block_size
+       are salted into ceil(n/max_block_size) sub-blocks with full
+       (i, j) cross-group enumeration;
+    2. groupby(block_key[,salt]) emits ordered pairs per group;
+    3. distinct over (id_a, id_b) — cross-block duplicate removal
+       (the reference's SQL DISTINCT †).
+    """
+    import pyarrow.compute as pc
+
+    counts = blocking_map.groupby("block_key").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], max_block_size)),
+        batch_format="pyarrow").to_pandas()
+    hot_counts: dict[str, int] = dict(zip(hot["block_key"], hot["count()"]))
+    dropped = {k for k, c in hot_counts.items() if c > hard_cap}
+    salt_k = {k: math.ceil(c / max_block_size)
+              for k, c in hot_counts.items() if k not in dropped}
+    salt_ref = ray.put((salt_k, dropped))
+
+    def salt(batch: pa.Table) -> pa.Table:
+        ks, dr = ray.get(salt_ref)
+        keys = batch["block_key"].to_pylist()
+        rids = batch["record_id"].to_pylist()
+        o_key: list[str] = []
+        o_rid: list[int] = []
+        o_sub: list[int] = []
+        for key, rid in zip(keys, rids):
+            if key in dr:
+                continue
+            k = ks.get(key)
+            if k is None:
+                o_key.append(key)
+                o_rid.append(rid)
+                o_sub.append(0)
+            else:
+                s = rid % k
+                for t in range(k):
+                    i, j = (s, t) if s <= t else (t, s)
+                    o_key.append(f"{key}#{i}.{j}")
+                    o_rid.append(rid)
+                    o_sub.append(s)
+        return pa.table({"block_key": pa.array(o_key, pa.string()),
+                         "record_id": pa.array(o_rid, pa.int64()),
+                         "sub": pa.array(o_sub, pa.int64())})
+
+    salted = blocking_map.map_batches(salt, batch_format="pyarrow")
+    pairs = salted.groupby("block_key").map_groups(
+        _emit_pairs_group, batch_format="pandas")
+    distinct = pairs.groupby(["id_a", "id_b"]).count() \
+        .select_columns(["id_a", "id_b"])
+    return distinct

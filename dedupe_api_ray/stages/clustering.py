@@ -1,0 +1,385 @@
+"""Clustering: distributed connected components + per-component
+centroid hierarchical clustering with confidences.
+
+Reference (†): dedupe:dedupe/clustering.py — in-memory numpy
+union_find → per-component fastcluster centroid linkage on condensed
+distances (1 - score, missing pairs = 1) cut with
+fcluster(criterion='distance') at 1 - threshold; confidence =
+1 - sqrt(mean squared distance to the other cluster members); a
+single-edge component yields the pair with (score, score).
+
+Ray shapes:
+- G1 connected components = the alternating large-star / small-star
+  edge-rewriting algorithm (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") executed as iterative groupby/map_groups
+  passes over the edge Dataset until a fixpoint checksum — the
+  "distributed union-find ... iterative groupby/sort passes" of the
+  north_star.  A driver-side numpy union-find fast path handles small
+  edge sets (mode="auto"), mirroring how Ray Data itself shortcuts
+  small shuffles.
+- G2 per-component clustering = groupby(component_id).map_groups with
+  a numpy Lance-Williams centroid-linkage kernel; components larger
+  than ``max_cluster_size`` fall back to transitive closure only
+  (SURVEY.md §4.3 oversized-component cap — deterministic, logged).
+
+Determinism: component label = min(record_id) in the component and
+cluster_id = min(record_id) in the flat cluster, so output is
+invariant across parallelism levels (SURVEY.md §4.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# G1: connected components
+# ---------------------------------------------------------------------------
+
+def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
+    def chk(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((u * np.uint64(2654435761) + v) % np.uint64(2**31)).astype(np.int64)
+        return pa.table({"h": pa.array([int(h.sum())], pa.int64()),
+                         "n": pa.array([len(u)], pa.int64())})
+    t = edges.map_batches(chk, batch_format="pyarrow").to_pandas()
+    return int(t["h"].sum()), int(t["n"].sum())
+
+
+def _distinct_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    return edges.groupby(["u", "v"]).count().select_columns(["u", "v"])
+
+
+def _symmetrize(batch: pa.Table) -> pa.Table:
+    u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+    v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
+    return pa.table({"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])})
+
+
+def _orient_high_low(batch: pa.Table) -> pa.Table:
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    v = batch["v"].to_numpy(zero_copy_only=False)
+    hi = np.maximum(u, v)
+    lo = np.minimum(u, v)
+    keep = hi != lo
+    return pa.table({"u": pa.array(hi[keep]), "v": pa.array(lo[keep])})
+
+
+def _min_neighbor(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(u, v) → (u, mn) where mn = min neighbor of u.  Pre-aggregated
+    inside map_batches (partial min per key per batch) before the
+    groupby so the shuffle moves one row per (key, batch), not per
+    edge — the partial/combiner rule from SURVEY.md §4."""
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, vs = u[order], v[order]
+        uniq, starts = np.unique(us, return_index=True)
+        mins = np.minimum.reduceat(vs, starts)
+        return pa.table({"u": pa.array(uniq), "v": pa.array(mins)})
+
+    mins = edges.map_batches(partial, batch_format="pyarrow") \
+        .groupby("u").min("v")
+    return mins.map_batches(
+        lambda t: t.rename_columns(["u", "mn"]), batch_format="pyarrow")
+
+
+def connected_components_distributed(edges: ray.data.Dataset,
+                                     max_iterations: int = 50,
+                                     num_partitions: int = 32
+                                     ) -> ray.data.Dataset:
+    """edges (u, v) → labels (record_id, component_id), component_id =
+    min record_id of the component.
+
+    Alternating large-star / small-star (Kiveris et al.), each pass
+    fully vectorized: a groupby-min computes each node's minimum
+    neighbor, a hash join attaches it back to the edges, and a
+    map_batches rewrites them — no per-node Python groups.  Iterates
+    until the distinct-edge-set checksum reaches a fixpoint
+    (O(log^2 n) passes)."""
+    cur = _distinct_edges(edges.map_batches(_orient_high_low,
+                                            batch_format="pyarrow"))
+    prev_sig = None
+    for _ in range(max_iterations):
+        # ---- large-star: for each u, connect larger neighbors to
+        # m = min(N(u) ∪ {u}); every edge is emitted from its lower
+        # endpoint's neighborhood, so no edge is lost.
+        sym = cur.map_batches(_symmetrize, batch_format="pyarrow")
+        mins = _min_neighbor(sym)
+        joined = sym.join(mins, join_type="inner",
+                          num_partitions=num_partitions, on=("u",))
+
+        def large_rewrite(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            mn = np.minimum(batch["mn"].to_numpy(zero_copy_only=False), u)
+            keep = v > u
+            return pa.table({"u": pa.array(v[keep]), "v": pa.array(mn[keep])})
+
+        ls = _distinct_edges(
+            joined.map_batches(large_rewrite, batch_format="pyarrow")
+            .map_batches(_orient_high_low, batch_format="pyarrow"))
+
+        # ---- small-star: edges oriented high→low; connect all
+        # neighbors (plus u) to the minimum neighbor.
+        mins2 = _min_neighbor(ls)
+        joined2 = ls.join(mins2, join_type="inner",
+                          num_partitions=num_partitions, on=("u",))
+
+        def small_rewrite(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            mn = batch["mn"].to_numpy(zero_copy_only=False)
+            keep = v != mn
+            out_u = np.concatenate([v[keep], u])
+            out_v = np.concatenate([mn[keep], mn])
+            return pa.table({"u": pa.array(out_u), "v": pa.array(out_v)})
+
+        cur = _distinct_edges(
+            joined2.map_batches(small_rewrite, batch_format="pyarrow")
+            .map_batches(_orient_high_low, batch_format="pyarrow"))
+        cur = cur.materialize()
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged: every edge is (node, root); roots get self-labels
+    def to_labels(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks() if isinstance(batch["u"], pa.ChunkedArray) else batch["u"]
+        v = batch["v"].combine_chunks() if isinstance(batch["v"], pa.ChunkedArray) else batch["v"]
+        return pa.table({"record_id": pa.concat_arrays([u, v]),
+                         "component_id": pa.concat_arrays([v, v])})
+
+    labels = cur.map_batches(to_labels, batch_format="pyarrow")
+    return labels.groupby("record_id").min("component_id") \
+        .map_batches(lambda t: t.rename_columns(["record_id", "component_id"]),
+                     batch_format="pyarrow")
+
+
+def connected_components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Small-edge-set fast path: numpy union-find on the driver
+    (reference behavior †, kept for modest candidate counts)."""
+    tbl = pa.concat_tables(list(edges.select_columns(["u", "v"])
+                                .iter_batches(batch_format="pyarrow",
+                                              batch_size=1 << 20)))
+    u = tbl["u"].to_numpy(zero_copy_only=False)
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    parent = np.arange(len(nodes))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    iu, iv = inv[: len(u)], inv[len(u):]
+    for a, b in zip(iu, iv):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(len(nodes))])
+    # component label = min record_id in component: nodes sorted asc so
+    # the root index reached by min-id union is already the min node.
+    comp = nodes[roots]
+    return ray.data.from_arrow(pa.table({
+        "record_id": pa.array(nodes, pa.int64()),
+        "component_id": pa.array(comp, pa.int64()),
+    }))
+
+
+def connected_components(edges: ray.data.Dataset, mode: str = "auto",
+                         driver_limit: int = 2_000_000) -> ray.data.Dataset:
+    """edges dataset with columns (u, v)."""
+    if mode == "driver":
+        return connected_components_driver(edges)
+    if mode == "distributed":
+        return connected_components_distributed(edges)
+    n = edges.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "record_id": pa.array([], pa.int64()),
+            "component_id": pa.array([], pa.int64())}))
+    if n <= driver_limit:
+        return connected_components_driver(edges)
+    return connected_components_distributed(edges)
+
+
+# ---------------------------------------------------------------------------
+# G2: per-component centroid hierarchical clustering
+# ---------------------------------------------------------------------------
+
+def centroid_linkage_np(d2: np.ndarray) -> list[tuple[int, int, float, int]]:
+    """Numpy Lance-Williams centroid linkage over a full squared-
+    distance matrix.  Returns merge rows (left_node, right_node,
+    height=sqrt(d2), size); new nodes numbered n, n+1, …  Ties break to
+    the first (row-major) minimum — deterministic."""
+    n = d2.shape[0]
+    work = d2.astype(np.float64).copy()
+    np.fill_diagonal(work, np.inf)
+    active = np.ones(n, dtype=bool)
+    sizes = np.ones(n, dtype=np.int64)
+    node_ids = np.arange(n)
+    merges: list[tuple[int, int, float, int]] = []
+    big = np.inf
+    for step in range(n - 1):
+        masked = np.where(active[:, None] & active[None, :], work, big)
+        flat = int(np.argmin(masked))
+        i, j = divmod(flat, n)
+        if i > j:
+            i, j = j, i
+        d2ij = masked[i, j]
+        ni, nj = sizes[i], sizes[j]
+        h = float(np.sqrt(max(d2ij, 0.0)))
+        merges.append((int(node_ids[i]), int(node_ids[j]), h, int(ni + nj)))
+        new_row = ((ni * work[i, :] + nj * work[j, :]) / (ni + nj)
+                   - ni * nj * d2ij / (ni + nj) ** 2)
+        work[i, :] = new_row
+        work[:, i] = new_row
+        work[i, i] = np.inf
+        active[j] = False
+        sizes[i] = ni + nj
+        node_ids[i] = n + step
+    return merges
+
+
+def cut_tree_np(n: int, merges: list[tuple[int, int, float, int]],
+                t: float) -> np.ndarray:
+    """fcluster(criterion='distance'): leaf → flat-cluster label;
+    clusters are maximal subtrees with max link height <= t."""
+    maxh = np.empty(len(merges))
+    for k, (i, j, h, _) in enumerate(merges):
+        m = h
+        if i >= n:
+            m = max(m, maxh[i - n])
+        if j >= n:
+            m = max(m, maxh[j - n])
+        maxh[k] = m
+    parent = np.arange(n + len(merges))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for k, (i, j, _, _) in enumerate(merges):
+        if maxh[k] <= t:
+            node = n + k
+            for child in (i, j):
+                ra, rb = find(child), find(node)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    labels = np.empty(n, dtype=np.int64)
+    reps: dict[int, int] = {}
+    for leaf in range(n):
+        r = find(leaf)
+        labels[leaf] = reps.setdefault(r, leaf)
+    return labels
+
+
+class ComponentClusterer:
+    """map_groups kernel: one connected component of scored edges →
+    (record_id, cluster_id, confidence) rows."""
+
+    def __init__(self, threshold: float, max_cluster_size: int = 1000):
+        self.threshold = threshold
+        self.max_cluster_size = max_cluster_size
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        ids_a = g["id_a"].to_numpy()
+        ids_b = g["id_b"].to_numpy()
+        scores = g["score"].to_numpy().astype(np.float64)
+        nodes = np.unique(np.concatenate([ids_a, ids_b]))
+        n = len(nodes)
+        if n == 2:
+            s = float(scores[0])
+            cid = int(nodes[0])
+            return pd.DataFrame({"record_id": nodes.astype(np.int64),
+                                 "cluster_id": np.int64(cid),
+                                 "confidence": np.float64(s)})
+        ia = np.searchsorted(nodes, ids_a)
+        ib = np.searchsorted(nodes, ids_b)
+        if n > self.max_cluster_size:
+            # oversized component: transitive closure only (§4.3)
+            cid = int(nodes[0])
+            conf = np.full(n, np.nan)
+            d2 = (1.0 - scores) ** 2
+            ssum = np.zeros(n)
+            cnt = np.zeros(n)
+            np.add.at(ssum, ia, d2)
+            np.add.at(ssum, ib, d2)
+            np.add.at(cnt, ia, 1)
+            np.add.at(cnt, ib, 1)
+            miss = (n - 1) - cnt
+            conf = 1.0 - np.sqrt((ssum + miss) / (n - 1))
+            return pd.DataFrame({"record_id": nodes.astype(np.int64),
+                                 "cluster_id": np.int64(cid),
+                                 "confidence": conf})
+        d2 = np.ones((n, n), dtype=np.float64)  # missing pairs = 1 †
+        d2[ia, ib] = (1.0 - scores) ** 2
+        d2[ib, ia] = (1.0 - scores) ** 2
+        np.fill_diagonal(d2, 0.0)
+        merges = centroid_linkage_np(d2)
+        labels = cut_tree_np(n, merges, 1.0 - self.threshold)
+        out_rid: list[int] = []
+        out_cid: list[int] = []
+        out_conf: list[float] = []
+        for lab in np.unique(labels):
+            members = np.nonzero(labels == lab)[0]
+            if len(members) < 2:
+                rid = int(nodes[members[0]])
+                out_rid.append(rid)
+                out_cid.append(rid)
+                out_conf.append(1.0)
+                continue
+            cid = int(nodes[members].min())
+            sub = d2[np.ix_(members, members)]
+            mean_sq = sub.sum(axis=1) / (len(members) - 1)
+            conf = 1.0 - np.sqrt(mean_sq)
+            for mi, m in enumerate(members):
+                out_rid.append(int(nodes[m]))
+                out_cid.append(cid)
+                out_conf.append(float(conf[mi]))
+        return pd.DataFrame({"record_id": np.array(out_rid, dtype=np.int64),
+                             "cluster_id": np.array(out_cid, dtype=np.int64),
+                             "confidence": np.array(out_conf)})
+
+
+def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
+                         cc_mode: str = "auto",
+                         max_cluster_size: int = 1000) -> ray.data.Dataset:
+    """scored (id_a, id_b, score) → entity rows (record_id, cluster_id,
+    confidence) for all records appearing in an above-threshold edge.
+    Caller adds singletons (records with no retained edge)."""
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["score"], threshold)),
+        batch_format="pyarrow")
+    kept = kept.materialize()
+    edges = kept.map_batches(
+        lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
+        batch_format="pyarrow")
+    labels = connected_components(edges, mode=cc_mode)
+    # attach component to each edge via join on id_a (id_a's component
+    # == id_b's component for retained edges)
+    labels_renamed = labels.map_batches(
+        lambda t: t.rename_columns(["id_a", "component_id"]),
+        batch_format="pyarrow")
+    with_comp = kept.join(labels_renamed, join_type="inner",
+                          num_partitions=max(kept.num_blocks(), 8),
+                          on=("id_a",))
+    return with_comp.groupby("component_id").map_groups(
+        ComponentClusterer(threshold, max_cluster_size),
+        batch_format="pandas")

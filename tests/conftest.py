@@ -1,0 +1,34 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus():
+    from dedupe_api_ray.fixtures import make_pages_corpus
+
+    return make_pages_corpus(n_entities=60, seed=42)
+
+
+@pytest.fixture(scope="session")
+def tabular_fixture():
+    from dedupe_api_ray.fixtures import make_tabular_fixture
+
+    return make_tabular_fixture(n_entities=60, seed=42)
