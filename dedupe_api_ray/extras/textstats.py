@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(driver-brief additions beyond the reference's own operator set):
+language-ID (n-gram heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash).
+
+All are stateless vectorized ``map_batches`` stages over a ``text``
+column; tokenization uses the engine-wide ASCII ``[\\w']+`` tokenizer
+so the DuckDB oracle can reproduce the SQL-expressible ones
+(token/char counts, ratios) exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dedupe_api_ray.functions.text import TOKEN_RE
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "que"},
+    "es": {"el", "la", "los", "las", "y", "de", "un", "una", "es", "que"},
+}
+
+# tiny per-language character-trigram profiles (hand-pinned heuristic;
+# deterministic, no external model — the stub-quality langid the brief
+# asks for, marked as heuristic in its queries() entry)
+_LANG_TRIGRAMS = {
+    "en": {"the", "ing", "and", "ion", "ent", "her", "for", "tha"},
+    "de": {"der", "ein", "sch", "ich", "nde", "die", "und", "cht"},
+    "fr": {"les", "ent", "que", "our", "ait", "ion", "eur", "ais"},
+    "es": {"que", "los", "ent", "ado", "con", "cio", "las", "una"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens via the engine tokenizer.  SQL oracle:
+    len(regexp_extract_all(text, TOKEN_PATTERN_SQL))."""
+    texts = batch[text_col].to_pylist()
+    counts = [len(TOKEN_RE.findall(t)) if t else 0 for t in texts]
+    return batch.append_column("n_tokens", pa.array(counts, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality heuristics: n_tokens, mean token length, stopword ratio
+    (en), alpha ratio.  Ratios rounded to 6 dp for oracle-stable
+    hashing."""
+    texts = batch[text_col].to_pylist()
+    n_tok, mean_len, stop_ratio, alpha_ratio = [], [], [], []
+    en_stop = _STOPWORDS["en"]
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower()) if t else []
+        n = len(toks)
+        n_tok.append(n)
+        mean_len.append(round(sum(map(len, toks)) / n, 6) if n else 0.0)
+        stop_ratio.append(round(sum(1 for w in toks if w in en_stop) / n, 6)
+                          if n else 0.0)
+        n_alpha = sum(1 for c in (t or "") if c.isalpha())
+        alpha_ratio.append(round(n_alpha / len(t), 6) if t else 0.0)
+    return batch.append_column("n_tokens", pa.array(n_tok, pa.int64())) \
+        .append_column("mean_token_len", pa.array(mean_len, pa.float64())) \
+        .append_column("stopword_ratio", pa.array(stop_ratio, pa.float64())) \
+        .append_column("alpha_ratio", pa.array(alpha_ratio, pa.float64()))
+
+
+class LangId:
+    """Actor-pool language-ID stage: trigram-profile vote + stopword
+    tie-break.  State (profiles) built once per actor."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_TRIGRAMS.items()}
+        self.stop = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def predict(self, text: str | None) -> str:
+        if not text:
+            return "und"
+        t = text.lower()
+        toks = TOKEN_RE.findall(t)
+        scores = {}
+        tris = {t[i:i + 3] for i in range(len(t) - 2)}
+        for lang, prof in self.profiles.items():
+            s = len(tris & prof)
+            s += 2 * sum(1 for w in toks[:50] if w in self.stop[lang])
+            scores[lang] = s
+        best = max(sorted(scores), key=lambda k: scores[k])
+        return best if scores[best] > 0 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      window: int = 16) -> pa.Table:
+    """Document fingerprint: min rolling (Karp-Rabin) hash over char
+    windows — a winnowing-style content fingerprint usable for
+    shift-robust near-dup keys."""
+    base = np.uint64(1000003)
+    mod_mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    out = []
+    for t in batch[text_col].to_pylist():
+        if not t or len(t) < window:
+            out.append(0)
+            continue
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(codes)
+        # rolling hash via prefix powers (vectorized)
+        pows = np.empty(window, dtype=np.uint64)
+        pows[0] = 1
+        for i in range(1, window):
+            pows[i] = (pows[i - 1] * base) & mod_mask
+        win = np.lib.stride_tricks.sliding_window_view(codes, window)
+        h = (win * pows[::-1]).sum(axis=1, dtype=np.uint64)
+        out.append(int(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+    return batch.append_column("fingerprint", pa.array(out, pa.int64()))
+
+
+def add_text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(lambda t: quality_score_batch(t, text_col),
+                          batch_format="pyarrow")

@@ -55,13 +55,15 @@ def partition(records: ray.data.Dataset, model: Model,
               scorer_concurrency: int | tuple = 8,
               cc_mode: str = "auto",
               exact_collapse: bool = True,
-              num_partitions: int = 64) -> ray.data.Dataset:
+              num_partitions: int | None = None) -> ray.data.Dataset:
     """records → entity map (record_id, cluster_id, confidence).
 
     Singletons get cluster_id = record_id, confidence 1.0; cluster_id
     is the min record_id of the cluster (deterministic across
     parallelism — SURVEY.md §4.6).
     """
+    from dedupe_api_ray.utils import default_num_partitions
+    num_partitions = default_num_partitions(num_partitions)
     ckpt = CheckpointManager(ckpt_dir)
     model_fp = fingerprint_of(
         [f.__dict__ for f in model.field_defs],

@@ -95,7 +95,7 @@ class Fingerprinter:
 
 
 def fingerprint_records(records: ray.data.Dataset, model: Model,
-                        concurrency: int | tuple = 4) -> ray.data.Dataset:
+                        concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
     model_ref = ray.put(model)
     return records.map_batches(
         Fingerprinter, fn_constructor_kwargs={"model_ref": model_ref},
@@ -157,7 +157,8 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["count()"], max_block_size)),
         batch_format="pyarrow").to_pandas()
-    hot_counts: dict[str, int] = dict(zip(hot["block_key"], hot["count()"]))
+    hot_counts: dict[str, int] = ({} if hot.empty else
+                                  dict(zip(hot["block_key"], hot["count()"])))
     dropped = {k for k, c in hot_counts.items() if c > hard_cap}
     salt_k = {k: math.ceil(c / max_block_size)
               for k, c in hot_counts.items() if k not in dropped}

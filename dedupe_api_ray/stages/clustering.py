@@ -93,7 +93,7 @@ def _min_neighbor(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 def connected_components_distributed(edges: ray.data.Dataset,
                                      max_iterations: int = 50,
-                                     num_partitions: int = 32
+                                     num_partitions: int | None = None
                                      ) -> ray.data.Dataset:
     """edges (u, v) → labels (record_id, component_id), component_id =
     min record_id of the component.
@@ -104,6 +104,8 @@ def connected_components_distributed(edges: ray.data.Dataset,
     map_batches rewrites them — no per-node Python groups.  Iterates
     until the distinct-edge-set checksum reaches a fixpoint
     (O(log^2 n) passes)."""
+    from dedupe_api_ray.utils import default_num_partitions
+    num_partitions = default_num_partitions(num_partitions)
     cur = _distinct_edges(edges.map_batches(_orient_high_low,
                                             batch_format="pyarrow"))
     prev_sig = None
@@ -377,9 +379,14 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
     labels_renamed = labels.map_batches(
         lambda t: t.rename_columns(["id_a", "component_id"]),
         batch_format="pyarrow")
+    from dedupe_api_ray.utils import default_num_partitions
     with_comp = kept.join(labels_renamed, join_type="inner",
-                          num_partitions=max(kept.num_blocks(), 8),
+                          num_partitions=default_num_partitions(),
                           on=("id_a",))
+    clusterer = ComponentClusterer(threshold, max_cluster_size)
+
+    def cluster_component(g: pd.DataFrame) -> pd.DataFrame:
+        return clusterer(g)
+
     return with_comp.groupby("component_id").map_groups(
-        ComponentClusterer(threshold, max_cluster_size),
-        batch_format="pandas")
+        cluster_component, batch_format="pandas")

@@ -41,9 +41,11 @@ def _payload_columns(model: Model) -> list[str]:
 
 
 def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
-                   model: Model, num_partitions: int = 64,
+                   model: Model, num_partitions: int | None = None,
                    broadcast_threshold: int = 2_000_000) -> ray.data.Dataset:
     """pairs (id_a, id_b) → pairs with a_<field> / b_<field> columns."""
+    from dedupe_api_ray.utils import default_num_partitions
+    num_partitions = default_num_partitions(num_partitions)
     cols = _payload_columns(model)
     n_records = records.count()
     if n_records <= broadcast_threshold:
@@ -72,7 +74,7 @@ def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
                 return pa.table(out)
 
         return pairs.map_batches(AttachBroadcast, batch_format="pyarrow",
-                                 concurrency=4, num_cpus=1)
+                                 concurrency=(1, 4), num_cpus=1)
 
     # large side: two hash-partitioned joins
     def rename(side: str):
@@ -119,7 +121,7 @@ class PairScorer:
 
 
 def score_pairs(pairs_with_payload: ray.data.Dataset, model: Model,
-                concurrency: int | tuple = 8, batch_size: int = 4096
+                concurrency: int | tuple = (1, 8), batch_size: int = 4096
                 ) -> ray.data.Dataset:
     model_ref = ray.put(model)
     return pairs_with_payload.map_batches(

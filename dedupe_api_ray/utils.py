@@ -1,0 +1,22 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+import ray
+
+
+def default_num_partitions(requested: int | None = None,
+                           reserve: int = 2) -> int:
+    """Partition count for hash joins/shuffles that leaves CPUs free
+    for upstream stages.  ``Dataset.join`` reserves one aggregator
+    actor per wave of partitions; asking for more partitions than
+    (cluster CPUs - reserve) can deadlock a small local session (the
+    aggregators starve the producers), so joins should never default
+    to a fixed large number."""
+    if requested is not None:
+        return max(2, requested)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, cpus - reserve)
