@@ -134,9 +134,12 @@ class JaccardVerifier:
             inter = len(sa & sb)
             union = len(sa) + len(sb) - inter
             sims[i] = inter / union if union else 0.0
-        tbl = pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
-                        "jaccard": pa.array(np.round(sims, 6), pa.float64())})
-        return tbl.filter(pc.greater_equal(tbl["jaccard"], self.threshold))
+        keep = sims >= self.threshold  # threshold on the exact value
+        tbl = pa.table({"id_a": pa.array(np.asarray(batch["id_a"])[keep]),
+                        "id_b": pa.array(np.asarray(batch["id_b"])[keep]),
+                        "jaccard": pa.array(np.round(sims[keep], 6),
+                                            pa.float64())})
+        return tbl
 
 
 def near_dup_pairs_minhash(docs: ray.data.Dataset, threshold: float = 0.5,

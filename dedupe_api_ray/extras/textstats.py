@@ -11,6 +11,7 @@ so the DuckDB oracle can reproduce the SQL-expressible ones
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -38,6 +39,13 @@ _LANG_TRIGRAMS = {
 }
 
 
+def round6(x: float) -> float:
+    """Round half away from zero at 6 dp — matches SQL ROUND (DuckDB),
+    unlike Python/numpy banker's rounding; keeps engine and oracle
+    value-hashes identical on exact .5 ulp cases."""
+    return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else -math.floor(-x * 1e6 + 0.5) / 1e6
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """n_tokens via the engine tokenizer.  SQL oracle:
     len(regexp_extract_all(text, TOKEN_PATTERN_SQL))."""
@@ -57,11 +65,11 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         toks = TOKEN_RE.findall(t.lower()) if t else []
         n = len(toks)
         n_tok.append(n)
-        mean_len.append(round(sum(map(len, toks)) / n, 6) if n else 0.0)
-        stop_ratio.append(round(sum(1 for w in toks if w in en_stop) / n, 6)
+        mean_len.append(round6(sum(map(len, toks)) / n) if n else 0.0)
+        stop_ratio.append(round6(sum(1 for w in toks if w in en_stop) / n)
                           if n else 0.0)
         n_alpha = sum(1 for c in (t or "") if c.isalpha())
-        alpha_ratio.append(round(n_alpha / len(t), 6) if t else 0.0)
+        alpha_ratio.append(round6(n_alpha / len(t)) if t else 0.0)
     return batch.append_column("n_tokens", pa.array(n_tok, pa.int64())) \
         .append_column("mean_token_len", pa.array(mean_len, pa.float64())) \
         .append_column("stopword_ratio", pa.array(stop_ratio, pa.float64())) \

@@ -22,7 +22,7 @@ import ray
 import ray.data
 
 from dedupe_api_ray.model import Model
-from dedupe_api_ray.stages.blocking import (candidate_pairs,
+from dedupe_api_ray.stages.blocking import (add_tokens, candidate_pairs,
                                             fingerprint_records,
                                             prepare_records)
 from dedupe_api_ray.stages.clustering import cluster_scored_pairs
@@ -72,7 +72,8 @@ def partition(records: ray.data.Dataset, model: Model,
 
     prepared = ckpt.run_stage(
         "records", fingerprint_of(model_fp, "records"),
-        lambda: prepare_records(records, model.field_defs, id_col))
+        lambda: prepare_records(records, model.field_defs, id_col,
+                                tokenize=False))
 
     fuzzy_input = prepared
     dupes_map = None  # row_hash duplicates folded out before matching
@@ -96,6 +97,7 @@ def partition(records: ray.data.Dataset, model: Model,
             lambda t: t.filter(pc.equal(t[id_col], t["rep_id"]))
             .drop_columns(["row_hash", "rep_id"]), batch_format="pyarrow")
 
+    fuzzy_input = add_tokens(fuzzy_input, model.field_defs)
     fuzzy_input = fuzzy_input.materialize()
 
     blocking_map = ckpt.run_stage(
@@ -138,7 +140,7 @@ def partition(records: ray.data.Dataset, model: Model,
 
     entity_map = left.map_batches(fill_singletons, batch_format="pyarrow")
 
-    if exact_collapse and dupes_map is not None:
+    if exact_collapse and dupes_map is not None and dupes_map.count() > 0:
         # duplicates rejoin with their representative's cluster (M5 †);
         # confidence 1.0 (byte-identical content).
         rep_assign = entity_map.map_batches(

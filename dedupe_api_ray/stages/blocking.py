@@ -34,10 +34,15 @@ from dedupe_api_ray.functions.text import normalize_array, tokenize_array
 from dedupe_api_ray.model import Model, _record_keys
 
 
-def prepare_records(ds: ray.data.Dataset, field_defs, id_col: str = "record_id"
-                    ) -> ray.data.Dataset:
+def prepare_records(ds: ray.data.Dataset, field_defs, id_col: str = "record_id",
+                    tokenize: bool = True) -> ray.data.Dataset:
     """M1: vectorized preProcess of every string field + hoisted
-    tokens columns (``<field>__tokens``) for Text/Set-over-text use."""
+    tokens columns (``<field>__tokens``) for Text/Set-over-text use.
+
+    ``tokenize=False`` defers token columns (use ``add_tokens`` after
+    any hash join — Arrow's hash join rejects list<> payload columns,
+    so list columns must be added after, or re-derived inside, joined
+    stages)."""
     string_fields = [f.field for f in field_defs
                      if f.type in ("String", "ShortString", "Text")]
     token_fields = [f.field for f in field_defs if f.type == "Text"]
@@ -46,11 +51,27 @@ def prepare_records(ds: ray.data.Dataset, field_defs, id_col: str = "record_id"
         cols = {name: batch[name] for name in batch.column_names}
         for name in string_fields:
             cols[name] = normalize_array(cols[name])
+        if tokenize:
+            for name in token_fields:
+                cols[f"{name}__tokens"] = tokenize_array(cols[name])
+        return pa.table(cols)
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def add_tokens(ds: ray.data.Dataset, field_defs) -> ray.data.Dataset:
+    """Hoisted tokens columns for Text fields (post-join stage)."""
+    token_fields = [f.field for f in field_defs if f.type == "Text"]
+    if not token_fields:
+        return ds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {name: batch[name] for name in batch.column_names}
         for name in token_fields:
             cols[f"{name}__tokens"] = tokenize_array(cols[name])
         return pa.table(cols)
 
-    return ds.map_batches(prep, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 class Fingerprinter:

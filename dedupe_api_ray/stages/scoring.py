@@ -76,7 +76,12 @@ def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
         return pairs.map_batches(AttachBroadcast, batch_format="pyarrow",
                                  concurrency=(1, 4), num_cpus=1)
 
-    # large side: two hash-partitioned joins
+    # large side: two hash-partitioned joins.  Arrow's hash join
+    # rejects list<> payload columns, so token columns stay behind and
+    # the scorer re-tokenizes per batch (DataModel falls back when a
+    # __tokens column is absent).
+    cols = [c for c in cols if not c.endswith("__tokens")]
+
     def rename(side: str):
         def fn(batch: pa.Table) -> pa.Table:
             data = {f"id_{side}": batch["record_id"]}
@@ -108,7 +113,10 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         recs_a: dict[str, list] = {}
         recs_b: dict[str, list] = {}
+        names = set(batch.column_names)
         for c in self.cols:
+            if f"a_{c}" not in names:
+                continue  # token cols absent on the join path
             recs_a[c] = batch[f"a_{c}"].to_pylist()
             recs_b[c] = batch[f"b_{c}"].to_pylist()
         x = self.dm.distances(recs_a, recs_b)
