@@ -337,10 +337,19 @@ def _q_near_dup_pairs(sf_dir: str):
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cands = bands.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    cands = cands.groupby(["id_a", "id_b"]).count() \
-        .select_columns(["id_a", "id_b"])
+    from dedupe_api_ray.stages.blocking import distinct_pairs
+
+    # band_key is an md5 hex over the band's hashes; collisions across
+    # band indexes are impossible in practice, but fold band in anyway
+    def fold(t: pa.Table) -> pa.Table:
+        key = [f"{b}|{k}" for b, k in zip(t["band"].to_pylist(),
+                                          t["band_key"].to_pylist())]
+        return pa.table({"bkey": pa.array(key, pa.string()),
+                         "doc_id": t["doc_id"]})
+
+    cands = bands.map_batches(fold, batch_format="pyarrow") \
+        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
+    cands = distinct_pairs(cands)
 
     from dedupe_api_ray.extras.dedup import JaccardVerifier
     docs_tbl = pa.concat_tables(list(

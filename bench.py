@@ -1,0 +1,211 @@
+"""Benchmark harness (driver-run per round; BASELINE.md protocol).
+
+Headline pipelines, timed separately and summed into one metric:
+- ingest:          read synthetic pages parquet → HTML→text extract →
+                   normalize → tokenize → write parquet (M1/M2)
+- partition:       full flagship dedupe (block → salted pairs → scorer
+                   actor pool → CC → per-component clustering) on the
+                   same corpus
+- minhash_dedup:   MinHash+LSH near-dup candidate generation over the
+                   corpus texts
+- q1_lineitem:     generic vectorized aggregate over $GRAFT_SF_DIR
+                   lineitem (engine-op conformance at sf scale)
+
+Prints ONE JSON line:
+  {"metric": "e2e_bench_sec", "value": <sum>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows": {...},
+   "entity_map_hash": "..."}
+
+--scaling: runs the same bench in two fresh subprocesses with
+RAY_GRAFT_CPUS=8 and 32, reports both + efficiency
+(t8/t32)/4 and checks the entity maps are identical (determinism
+across parallelism, SURVEY.md §4.6/§5.4).
+
+This script OWNS its Ray session (the driver contract applies only to
+__ray_entry__).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "40000"))
+CORPUS_DIR = f"/tmp/dedupe_bench_corpus_{BENCH_ENTITIES}"
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def ensure_corpus() -> str:
+    """Deterministic synthetic pages corpus (seed=42), cached in /tmp
+    so both scaling runs see identical input."""
+    import pyarrow.parquet as pq
+
+    path = f"{CORPUS_DIR}/pages.parquet"
+    if os.path.exists(path):
+        return path
+    from dedupe_api_ray.fixtures import make_pages_corpus
+
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    data = make_pages_corpus(n_entities=BENCH_ENTITIES, seed=42)
+    pq.write_table(data["pages"], path + ".tmp")
+    os.rename(path + ".tmp", path)
+    pq.write_table(data["labeled_pairs"], f"{CORPUS_DIR}/labeled_pairs.parquet")
+    pq.write_table(data["gold_clusters"], f"{CORPUS_DIR}/gold_clusters.parquet")
+    return path
+
+
+def bench_model():
+    """Trained weights (tiny fixture) + pinned blocking predicates so
+    the bench workload is stable across rounds."""
+    from dedupe_api_ray.fixtures import make_pages_corpus, record_id_of_url
+    from dedupe_api_ray.model import FieldDef, PredicateSpec, train_model
+
+    fields = [FieldDef("text", "Text"), FieldDef("url_host", "ShortString")]
+    tiny = make_pages_corpus(n_entities=200, seed=42)
+    cols = tiny["pages"].to_pydict()
+    recs = {record_id_of_url(u): {"text": t, "url_host": u.split("/")[2]}
+            for u, t in zip(cols["url"], cols["text"])}
+    lp = tiny["labeled_pairs"].to_pydict()
+    labeled = list(zip(lp["id_a"], lp["id_b"], lp["label"]))
+    model = train_model(recs, labeled, fields, max_predicates=3)
+    model.predicates = [
+        PredicateSpec("compound", "text",
+                      parts=(("commonIntegerPredicate", "text"),
+                             ("wholeFieldPredicate", "url_host"))),
+        PredicateSpec("simple", "url_host", "wholeFieldPredicate"),
+        PredicateSpec("simple", "text", "fingerprint"),
+    ]
+    return model
+
+
+def run_bench() -> dict:
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data import DataContext
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    pages_path = ensure_corpus()
+    queries: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # warm the page cache so both levels measure compute, not first read
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    # ---- ingest ----------------------------------------------------------
+    from dedupe_api_ray.fixtures import record_id_of_url
+    from dedupe_api_ray.functions.text import (extract_text_batch,
+                                               normalize_array,
+                                               tokenize_array)
+
+    def ingest_batch(t: pa.Table) -> pa.Table:
+        t = extract_text_batch(t, "html", "text_extracted")
+        urls = t["url"].to_pylist()
+        rids = pa.array([record_id_of_url(u) for u in urls], pa.int64())
+        hosts = pa.array([u.split("/")[2] for u in urls], pa.string())
+        norm = normalize_array(t["text_extracted"])
+        toks = tokenize_array(norm)
+        return pa.table({"record_id": rids, "url": t["url"],
+                         "url_host": hosts, "text": norm,
+                         "text__tokens": toks, "lang": t["lang"],
+                         "warc_ts": t["warc_ts"]})
+
+    t0 = time.monotonic()
+    ingested = ray.data.read_parquet(pages_path) \
+        .map_batches(ingest_batch, batch_format="pyarrow", batch_size=2048)
+    out_dir = f"/tmp/bench_out_{NUM_CPUS}/records"
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ingested.write_parquet(out_dir)
+    queries["ingest"] = round(time.monotonic() - t0, 2)
+    records = ray.data.read_parquet(out_dir)
+    rows["ingest"] = records.count()
+
+    # ---- flagship partition ---------------------------------------------
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    model = bench_model()
+    t0 = time.monotonic()
+    em = partition(
+        records.drop_columns(["url", "lang", "warc_ts"]),
+        model, threshold=0.5,
+        max_block_size=200, hard_cap=2000,
+        scorer_concurrency=(1, NUM_CPUS), exact_collapse=True)
+    em_df = em.to_pandas()
+    queries["partition"] = round(time.monotonic() - t0, 2)
+    rows["partition"] = len(em_df)
+    em_df = em_df.sort_values(["record_id", "cluster_id"]).reset_index(drop=True)
+    em_hash = hashlib.md5(
+        "\n".join(f"{r}|{c}" for r, c in
+                  zip(em_df["record_id"], em_df["cluster_id"])).encode()
+    ).hexdigest()
+
+    # ---- minhash near-dup candidates ------------------------------------
+    from dedupe_api_ray.extras.dedup import lsh_candidate_pairs, minhash_band_rows
+
+    t0 = time.monotonic()
+    band_rows = minhash_band_rows(
+        records.select_columns(["record_id", "text"]),
+        num_perm=32, bands=8, text_col="text", id_col="record_id",
+        concurrency=(1, NUM_CPUS))
+    cands = lsh_candidate_pairs(band_rows)
+    rows["minhash_dedup"] = cands.count()
+    queries["minhash_dedup"] = round(time.monotonic() - t0, 2)
+
+    # ---- generic aggregate at sf scale ----------------------------------
+    import __ray_entry__ as entrymod
+
+    t0 = time.monotonic()
+    q1 = entrymod._q_q1_lineitem(SF_DIR).to_pandas()
+    queries["q1_lineitem"] = round(time.monotonic() - t0, 2)
+    rows["q1_lineitem"] = len(q1)
+
+    ray.shutdown()
+    total = round(sum(queries.values()), 2)
+    return {"metric": "e2e_bench_sec", "value": total, "unit": "sec",
+            "queries": queries, "rows": rows,
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "num_cpus": NUM_CPUS, "bench_entities": BENCH_ENTITIES,
+            "entity_map_hash": em_hash}
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    ensure_corpus()  # generate once, outside both timed runs
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"queries_{lo}": r_lo["queries"], f"queries_{hi}": r_hi["queries"],
+        "scaling_efficiency": round(eff, 3),
+        "deterministic_across_parallelism":
+            r_lo["entity_map_hash"] == r_hi["entity_map_hash"],
+        "entity_map_hash": r_hi["entity_map_hash"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

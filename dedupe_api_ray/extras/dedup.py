@@ -76,7 +76,10 @@ class MinHasher:
             sig = self.signature(text)
             for b in range(self.bands):
                 chunk = sig[b * self.rows:(b + 1) * self.rows]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+                # band index folded into the key hash → a single int64
+                # groupby key downstream (multi-key groupby is slow)
+                h = hashlib.blake2b(chunk.tobytes() + bytes([b]),
+                                    digest_size=8).digest()
                 out_id.append(rid)
                 out_band.append(b)
                 out_key.append(int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF)
@@ -107,10 +110,10 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 
 def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> ray.data.Dataset:
-    pairs = band_rows.groupby(["band", "band_key"]).map_groups(
+    from dedupe_api_ray.stages.blocking import distinct_pairs
+    pairs = band_rows.groupby("band_key").map_groups(
         _bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).count() \
-        .select_columns(["id_a", "id_b"])
+    return distinct_pairs(pairs)
 
 
 class JaccardVerifier:

@@ -17,7 +17,7 @@ import pyarrow as pa
 
 SEED = 42
 
-_VOCAB = (
+_BASE_WORDS = (
     "web page crawl data engine index search query result link anchor title "
     "content article news sport market price stock report city council meeting "
     "school health water energy climate science study model train test value "
@@ -26,6 +26,13 @@ _VOCAB = (
     "small large fast slow open close north south east west spring river lake "
     "mountain street road bridge house garden paper book letter word language"
 ).split()
+# widen to ~2000 distinct words so random documents share few tokens
+# (a 120-word vocabulary made every pair of docs look near-duplicate,
+# which is unrealistic for web text and inflated components)
+_VOCAB = _BASE_WORDS + [f"{w}{sfx}" for w in _BASE_WORDS
+                        for sfx in ("er", "ing", "ed", "ly", "ster", "ish",
+                                    "ton", "ville", "ward", "most", "less",
+                                    "ful", "ness", "dom", "oid", "ium")]
 
 _SYNONYM = {
     "fast": "quick", "large": "big", "small": "little", "road": "street",

@@ -199,6 +199,37 @@ def cosine_similarity(tokens_a: list[str] | None, tokens_b: list[str] | None,
     return num / (na * nb)
 
 
+def tf_stats(tokens: list[str], idf: dict[str, float] | None = None
+             ) -> tuple[dict[str, int], float]:
+    """Per-record term-frequency dict + vector norm, cacheable by
+    record id so batch scoring doesn't rebuild counts per PAIR (each
+    record participates in many candidate pairs)."""
+    ca = Counter(tokens)
+    get = idf.get if idf is not None else None
+    norm = math.sqrt(sum((f * (get(t, 1.0) if get else 1.0)) ** 2
+                         for t, f in ca.items()))
+    return ca, norm
+
+
+def cosine_from_stats(ca: dict[str, int], na: float,
+                      cb: dict[str, int], nb: float,
+                      idf: dict[str, float] | None = None) -> float:
+    """Cosine from cached tf_stats; bit-identical to
+    ``cosine_similarity`` (same iteration order and float ops)."""
+    if not ca or not cb:
+        return float("nan")
+    get = idf.get if idf is not None else None
+    num = 0.0
+    for t, fa in ca.items():
+        fb = cb.get(t)
+        if fb:
+            w = get(t, 1.0) if get else 1.0
+            num += fa * fb * w * w
+    if num == 0.0:
+        return 0.0
+    return num / (na * nb)
+
+
 def cosine_similarity_batch(tokens_a: list, tokens_b: list,
                             idf: dict[str, float] | None = None) -> np.ndarray:
     """Batched K2; python-loop over pairs but Counter work is C-level.

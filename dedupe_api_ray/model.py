@@ -124,10 +124,15 @@ class DataModel:
     def n_features(self) -> int:
         return len(self.feature_names)
 
-    def distances(self, recs_a: dict[str, list], recs_b: dict[str, list]) -> np.ndarray:
+    def distances(self, recs_a: dict[str, list], recs_b: dict[str, list],
+                  precomputed: dict[str, np.ndarray] | None = None
+                  ) -> np.ndarray:
         """Feature matrix for n pairs.  ``recs_a``/``recs_b`` map field
         name → list of n values (plus optional ``<field>__tokens``
-        columns holding pre-tokenized lists for Text fields)."""
+        columns holding pre-tokenized lists for Text fields).
+        ``precomputed`` maps a field name to an already-computed
+        distance column (e.g. the scorer's cached-cosine fast path) —
+        values must equal what the kernel here would produce."""
         n = len(next(iter(recs_a.values())))
         base_width = sum(len(self._col_of[f.name]) for f in self._base)
         x = np.zeros((n, self.n_features), dtype=np.float64)
@@ -142,13 +147,17 @@ class DataModel:
                 nan_mask[f.name] = np.isnan(d)
                 col += 1
             elif f.type == "Text":
-                ta = recs_a.get(f"{f.field}__tokens")
-                tb = recs_b.get(f"{f.field}__tokens")
-                if ta is None:
-                    ta = [tokens_of(v) for v in a]
-                if tb is None:
-                    tb = [tokens_of(v) for v in b]
-                d = kernels.cosine_similarity_batch(ta, tb, self.idf.get(f.field))
+                if precomputed is not None and f.field in precomputed:
+                    d = precomputed[f.field]
+                else:
+                    ta = recs_a.get(f"{f.field}__tokens")
+                    tb = recs_b.get(f"{f.field}__tokens")
+                    if ta is None:
+                        ta = [tokens_of(v) for v in a]
+                    if tb is None:
+                        tb = [tokens_of(v) for v in b]
+                    d = kernels.cosine_similarity_batch(ta, tb,
+                                                        self.idf.get(f.field))
                 x[:, col] = d
                 nan_mask[f.name] = np.isnan(d)
                 col += 1

@@ -75,6 +75,14 @@ def partition(records: ray.data.Dataset, model: Model,
         lambda: prepare_records(records, model.field_defs, id_col,
                                 tokenize=False))
 
+    # Arrow's hash join rejects list<> payload columns: drop any
+    # pre-supplied __tokens columns here and re-derive them after the
+    # collapse (add_tokens below).
+    token_cols = [c for c in (prepared.schema().names or [])
+                  if c.endswith("__tokens")]
+    if token_cols:
+        prepared = prepared.drop_columns(token_cols)
+
     fuzzy_input = prepared
     dupes_map = None  # row_hash duplicates folded out before matching
     if exact_collapse:

@@ -44,7 +44,7 @@ def recordlink_candidate_pairs(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset,
     bm_b = fingerprint_records(ds_b, model).map_batches(
         tag(1), batch_format="pyarrow")
     bm = bm_a.union(bm_b)
+    from dedupe_api_ray.stages.blocking import distinct_pairs
     pairs = bm.groupby("block_key").map_groups(_cross_side_pairs,
                                                batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).count() \
-        .select_columns(["id_a", "id_b"])
+    return distinct_pairs(pairs)

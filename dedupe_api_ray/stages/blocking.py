@@ -158,6 +158,32 @@ def _emit_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"id_a": lo, "id_b": hi})
 
 
+def distinct_pairs(pairs: ray.data.Dataset, col_a: str = "id_a",
+                   col_b: str = "id_b",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Global distinct over a two-int64-key table WITHOUT a multi-key
+    groupby (Ray 2.49's multi-column groupby degrades badly past ~1M
+    rows).  Shape: per-batch local dedup (cuts shuffle volume) → hash
+    bucket on (a, b) → single-int-key groupby → vectorized
+    drop_duplicates per bucket."""
+    def bucket(t: pa.Table) -> pa.Table:
+        a = t[col_a].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t[col_b].to_numpy(zero_copy_only=False).astype(np.uint64)
+        df = pd.DataFrame({col_a: a.astype(np.int64),
+                           col_b: b.astype(np.int64)})
+        df = df.drop_duplicates()  # local pre-dedup
+        h = ((df[col_a].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ df[col_b].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)
+        df["__bucket"] = h.astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([col_a, col_b])[[col_a, col_b]]
+
+    return pairs.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(dedup, batch_format="pandas")
+
+
 def candidate_pairs(blocking_map: ray.data.Dataset,
                     max_block_size: int = 500,
                     hard_cap: int = 20_000) -> ray.data.Dataset:
@@ -174,6 +200,9 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     """
     import pyarrow.compute as pc
 
+    # the blocking map is consumed twice (key counts, then salting):
+    # pin it so the upstream fingerprint stage doesn't execute twice
+    blocking_map = blocking_map.materialize()
     counts = blocking_map.groupby("block_key").count()
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["count()"], max_block_size)),
@@ -214,6 +243,4 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     salted = blocking_map.map_batches(salt, batch_format="pyarrow")
     pairs = salted.groupby("block_key").map_groups(
         _emit_pairs_group, batch_format="pandas")
-    distinct = pairs.groupby(["id_a", "id_b"]).count() \
-        .select_columns(["id_a", "id_b"])
-    return distinct
+    return distinct_pairs(pairs)

@@ -53,7 +53,8 @@ def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
 
 
 def _distinct_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
-    return edges.groupby(["u", "v"]).count().select_columns(["u", "v"])
+    from dedupe_api_ray.stages.blocking import distinct_pairs
+    return distinct_pairs(edges, col_a="u", col_b="v")
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
@@ -231,18 +232,19 @@ def centroid_linkage_np(d2: np.ndarray) -> list[tuple[int, int, float, int]]:
     n = d2.shape[0]
     work = d2.astype(np.float64).copy()
     np.fill_diagonal(work, np.inf)
-    active = np.ones(n, dtype=bool)
     sizes = np.ones(n, dtype=np.int64)
     node_ids = np.arange(n)
     merges: list[tuple[int, int, float, int]] = []
-    big = np.inf
+    # inactive rows/cols are kept at +inf IN PLACE (no per-step masked
+    # copy — that turned the loop into allocation-bound O(n^3) with a
+    # large constant); the Lance-Williams update propagates inf
+    # naturally, so a single flat argmin per step suffices.
     for step in range(n - 1):
-        masked = np.where(active[:, None] & active[None, :], work, big)
-        flat = int(np.argmin(masked))
+        flat = int(np.argmin(work))
         i, j = divmod(flat, n)
         if i > j:
             i, j = j, i
-        d2ij = masked[i, j]
+        d2ij = work[i, j]
         ni, nj = sizes[i], sizes[j]
         h = float(np.sqrt(max(d2ij, 0.0)))
         merges.append((int(node_ids[i]), int(node_ids[j]), h, int(ni + nj)))
@@ -251,7 +253,8 @@ def centroid_linkage_np(d2: np.ndarray) -> list[tuple[int, int, float, int]]:
         work[i, :] = new_row
         work[:, i] = new_row
         work[i, i] = np.inf
-        active[j] = False
+        work[j, :] = np.inf
+        work[:, j] = np.inf
         sizes[i] = ni + nj
         node_ids[i] = n + step
     return merges

@@ -28,14 +28,16 @@ from dedupe_api_ray.model import Model
 
 
 def _payload_columns(model: Model) -> list[str]:
+    """Columns shipped with each pair.  Token list columns are NOT
+    shipped: converting list<string> Arrow columns to Python per batch
+    dominated scoring cost, and the scorer's per-record TF cache makes
+    re-tokenizing on (rare) cache misses cheaper than shipping tokens
+    with every pair."""
     cols: list[str] = []
     for f in model.field_defs:
         if f.type == "Interaction":
             continue
         cols.append(f.field)
-        if f.type == "Text":
-            cols.append(f"{f.field}__tokens")
-    # dedupe preserving order
     seen: set[str] = set()
     return [c for c in cols if not (c in seen or seen.add(c))]
 
@@ -102,13 +104,59 @@ def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
 
 
 class PairScorer:
-    """A1 (†): classifier + distance kernels held per actor."""
+    """A1 (†): classifier + distance kernels held per actor.
+
+    Text-field cosine takes a cached fast path: per-record TF stats
+    (counts + norm) are memoized by record id in the actor, because a
+    record appears in many candidate pairs — rebuilding a Counter per
+    PAIR dominated scoring cost otherwise.  Cache values are exact
+    (kernels.cosine_from_stats is bit-identical to the uncached
+    kernel), so scores are unchanged."""
+
+    _CACHE_CAP = 500_000  # per-actor entries; cleared when exceeded
 
     def __init__(self, model_ref):
         self.model: Model = ray.get(model_ref) if isinstance(
             model_ref, ray.ObjectRef) else model_ref
         self.dm = self.model.data_model()
         self.cols = _payload_columns(self.model)
+        self.text_fields = [f.field for f in self.model.field_defs
+                            if f.type == "Text"]
+        self._tf_cache: dict[tuple[str, int], tuple] = {}
+
+    def _cosine_col(self, field: str, batch: pa.Table,
+                    names: set[str]) -> np.ndarray:
+        from dedupe_api_ray.functions.kernels import (cosine_from_stats,
+                                                      tf_stats)
+        from dedupe_api_ray.functions.text import tokens_of
+
+        idf = self.model.idf.get(field)
+        ids_a = batch["id_a"].to_pylist()
+        ids_b = batch["id_b"].to_pylist()
+        tok_a = tok_b = None
+        val_a = batch[f"a_{field}"].to_pylist()
+        val_b = batch[f"b_{field}"].to_pylist()
+        if len(self._tf_cache) > self._CACHE_CAP:
+            self._tf_cache.clear()
+        cache = self._tf_cache
+        n = len(ids_a)
+        out = np.full(n, np.nan, dtype=np.float64)
+        for i in range(n):
+            stats = []
+            for rid, toks, val in ((ids_a[i], tok_a, val_a),
+                                   (ids_b[i], tok_b, val_b)):
+                key = (field, rid)
+                st = cache.get(key)
+                if st is None:
+                    tl = toks[i] if toks is not None else tokens_of(val[i])
+                    st = tf_stats(tl, idf)
+                    cache[key] = st
+                stats.append(st)
+            (ca, na), (cb, nb) = stats
+            if not ca or not cb:
+                continue  # NaN: missing side
+            out[i] = cosine_from_stats(ca, na, cb, nb, idf)
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         recs_a: dict[str, list] = {}
@@ -119,7 +167,9 @@ class PairScorer:
                 continue  # token cols absent on the join path
             recs_a[c] = batch[f"a_{c}"].to_pylist()
             recs_b[c] = batch[f"b_{c}"].to_pylist()
-        x = self.dm.distances(recs_a, recs_b)
+        precomputed = {f: self._cosine_col(f, batch, names)
+                       for f in self.text_fields}
+        x = self.dm.distances(recs_a, recs_b, precomputed=precomputed)
         score = self.model.predict_proba(x).astype(np.float32)
         return pa.table({
             "id_a": batch["id_a"],
