@@ -1,0 +1,251 @@
+"""TF-IDF canopy blocking (SURVEY.md §2.3 P20/P21, M5).
+
+Reference (†): dedupe:dedupe/predicates.py::TfidfTextCanopyPredicate /
+SearchPredicate over dedupe/canopy_index.py::CanopyIndex — build a
+corpus TF-IDF inverted index; canopy assignment iterates records, the
+first unassigned record becomes a canopy *center* and every record
+with cosine >= threshold joins its canopy; block key = center id.
+Each record lands in exactly one canopy (first center to reach it).
+
+The reference canopy is insertion-order-dependent †; we pin ascending
+record_id order in both engine and oracle (SURVEY.md §2.3/§7).
+
+Ray shapes:
+- pass 1 (distributed): document-frequency counts — per-batch partial
+  (token, df) rows → groupby sum; N from count(); IDF broadcast.
+- pass 2 (distributed): per-record L2-normalized TF-IDF sparse vector
+  (map_batches over Arrow).
+- pass 3 (driver): the sequential canopy sweep itself over the
+  collected sparse vectors with an inverted index — inherently
+  order-dependent, exactly like the reference's in-memory
+  CanopyIndex †.  Scale note: at 10^12 docs canopy is replaced by
+  MinHash-LSH blocking (extras.dedup) — documented tradeoff; the
+  reference's canopy is equally single-memory.
+- P21 Search variant: the indexed side's vectors are broadcast to an
+  actor pool; each query batch probes the inverted index and emits a
+  key per indexed record within threshold (used by RecordLink /
+  Gazetteer sides — a broadcast semi-join, no shuffle).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ray.data.aggregate import Sum
+
+from dedupe_api_ray.functions.text import TOKEN_RE
+
+
+def df_counts(records: ray.data.Dataset, field: str) -> ray.data.Dataset:
+    """G5: document frequency per token, pre-aggregated per batch."""
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        toks_col = f"{field}__tokens"
+        if toks_col in t.column_names:
+            lists = t[toks_col].to_pylist()
+        else:
+            lists = [TOKEN_RE.findall((v or "").lower())
+                     for v in t[field].to_pylist()]
+        for toks in lists:
+            for tok in set(toks):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table({"token": pa.array(list(counts.keys()), pa.string()),
+                         "df": pa.array(list(counts.values()), pa.int64())})
+
+    return records.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df"))
+
+
+def build_idf(records: ray.data.Dataset, field: str) -> dict[str, float]:
+    """IDF table: log(N / (1 + df)) + 1 (pinned engine-wide formula,
+    model.compute_idf)."""
+    n = records.count()
+    dfs = df_counts(records, field).to_pandas()
+    return {t: math.log(n / (1 + d)) + 1.0
+            for t, d in zip(dfs["token"], dfs["df"])}
+
+
+def _tfidf_vectors(records: ray.data.Dataset, field: str, id_col: str,
+                   idf_ref) -> ray.data.Dataset:
+    """(record_id, tokens[], weights[]) with L2-normalized TF-IDF."""
+    def fn(t: pa.Table) -> pa.Table:
+        idf = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        toks_col = f"{field}__tokens"
+        if toks_col in t.column_names:
+            lists = t[toks_col].to_pylist()
+        else:
+            lists = [TOKEN_RE.findall((v or "").lower())
+                     for v in t[field].to_pylist()]
+        out_tok: list[list[str]] = []
+        out_w: list[list[float]] = []
+        for toks in lists:
+            tf: dict[str, int] = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            items = sorted(tf.items())  # deterministic order
+            ws = [f * idf.get(tok, 1.0) for tok, f in items]
+            norm = math.sqrt(sum(w * w for w in ws))
+            if norm > 0:
+                ws = [w / norm for w in ws]
+            out_tok.append([tok for tok, _ in items])
+            out_w.append(ws)
+        return pa.table({
+            "record_id": t[id_col],
+            "tokens": pa.array(out_tok, pa.list_(pa.string())),
+            "weights": pa.array(out_w, pa.list_(pa.float64())),
+        })
+
+    return records.map_batches(fn, batch_format="pyarrow")
+
+
+def canopy_assign(vectors: list[tuple[int, list[str], list[float]]],
+                  threshold: float) -> dict[int, int]:
+    """The sequential canopy sweep (reference semantics †), pinned to
+    ascending record_id order.  Returns record_id → canopy center id."""
+    vectors = sorted(vectors, key=lambda v: v[0])
+    postings: dict[str, list[tuple[int, float]]] = defaultdict(list)
+    index_of: dict[int, int] = {}
+    for k, (rid, toks, ws) in enumerate(vectors):
+        index_of[rid] = k
+        for tok, w in zip(toks, ws):
+            postings[tok].append((k, w))
+    assigned: dict[int, int] = {}
+    taken = np.zeros(len(vectors), dtype=bool)
+    scores = np.zeros(len(vectors), dtype=np.float64)
+    for k, (rid, toks, ws) in enumerate(vectors):
+        if taken[k]:
+            continue
+        taken[k] = True
+        assigned[rid] = rid  # center of its own canopy
+        touched: list[int] = []
+        for tok, w in zip(toks, ws):
+            for other, ow in postings[tok]:
+                if scores[other] == 0.0:
+                    touched.append(other)
+                scores[other] += w * ow
+        for other in touched:
+            if scores[other] >= threshold and not taken[other]:
+                taken[other] = True
+                assigned[vectors[other][0]] = rid
+            scores[other] = 0.0
+    return assigned
+
+
+def tfidf_canopy_keys(records: ray.data.Dataset, field: str,
+                      threshold: float, id_col: str = "record_id",
+                      pred_tag: str = "canopy") -> ray.data.Dataset:
+    """P20 as a blocking-map fragment: (block_key, record_id) where
+    block_key = '{pred_tag}:{canopy_center_id}'."""
+    idf = build_idf(records, field)
+    idf_ref = ray.put(idf)
+    vecs_ds = _tfidf_vectors(records, field, id_col, idf_ref)
+    vectors: list[tuple[int, list[str], list[float]]] = []
+    for batch in vecs_ds.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536):
+        rids = batch["record_id"].to_pylist()
+        toks = batch["tokens"].to_pylist()
+        ws = batch["weights"].to_pylist()
+        vectors.extend(zip(rids, toks, ws))
+    assigned = canopy_assign(vectors, threshold)
+    rids = sorted(assigned)
+    return ray.data.from_arrow(pa.table({
+        "block_key": pa.array([f"{pred_tag}:{assigned[r]}" for r in rids],
+                              pa.string()),
+        "record_id": pa.array(rids, pa.int64()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# P21: Search predicate (query side probes a broadcast index)
+# ---------------------------------------------------------------------------
+
+
+class TfidfSearchIndex:
+    """A2 †: inverted TF-IDF index held per actor; per query batch
+    emits a key per indexed record with cosine >= threshold."""
+
+    def __init__(self, index_ref, threshold: float, field: str,
+                 id_col: str, idf_ref, pred_tag: str):
+        index_rows = ray.get(index_ref)
+        self.idf = ray.get(idf_ref)
+        self.threshold = threshold
+        self.field = field
+        self.id_col = id_col
+        self.pred_tag = pred_tag
+        self.postings: dict[str, list[tuple[int, float]]] = defaultdict(list)
+        self.index_ids: list[int] = []
+        for rid, toks, ws in index_rows:
+            k = len(self.index_ids)
+            self.index_ids.append(rid)
+            for tok, w in zip(toks, ws):
+                self.postings[tok].append((k, w))
+
+    def _vector(self, toks: list[str]) -> tuple[list[str], list[float]]:
+        tf: dict[str, int] = {}
+        for tok in toks:
+            tf[tok] = tf.get(tok, 0) + 1
+        items = sorted(tf.items())
+        ws = [f * self.idf.get(tok, 1.0) for tok, f in items]
+        norm = math.sqrt(sum(w * w for w in ws))
+        if norm > 0:
+            ws = [w / norm for w in ws]
+        return [tok for tok, _ in items], ws
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks_col = f"{self.field}__tokens"
+        if toks_col in batch.column_names:
+            lists = batch[toks_col].to_pylist()
+        else:
+            lists = [TOKEN_RE.findall((v or "").lower())
+                     for v in batch[self.field].to_pylist()]
+        qids = batch[self.id_col].to_pylist()
+        n_index = len(self.index_ids)
+        scores = np.zeros(n_index, dtype=np.float64)
+        out_key: list[str] = []
+        out_rid: list[int] = []
+        for qid, toks in zip(qids, lists):
+            qt, qw = self._vector(toks)
+            touched: list[int] = []
+            for tok, w in zip(qt, qw):
+                for other, ow in self.postings.get(tok, ()):
+                    if scores[other] == 0.0:
+                        touched.append(other)
+                    scores[other] += w * ow
+            for other in touched:
+                if scores[other] >= self.threshold:
+                    out_key.append(f"{self.pred_tag}:{self.index_ids[other]}")
+                    out_rid.append(qid)
+                scores[other] = 0.0
+        return pa.table({"block_key": pa.array(out_key, pa.string()),
+                         "record_id": pa.array(out_rid, pa.int64())})
+
+
+def tfidf_search_keys(queries: ray.data.Dataset, index: ray.data.Dataset,
+                      field: str, threshold: float,
+                      id_col: str = "record_id",
+                      pred_tag: str = "search",
+                      concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+    """P21: query-side keys — one per indexed record within threshold.
+    The indexed side also emits its own-id key so both sides of a
+    RecordLink share keys."""
+    idf = build_idf(index, field)
+    idf_ref = ray.put(idf)
+    vecs = _tfidf_vectors(index, field, id_col, idf_ref)
+    index_rows: list[tuple[int, list[str], list[float]]] = []
+    for batch in vecs.iter_batches(batch_format="pyarrow", batch_size=65536):
+        index_rows.extend(zip(batch["record_id"].to_pylist(),
+                              batch["tokens"].to_pylist(),
+                              batch["weights"].to_pylist()))
+    index_ref = ray.put(index_rows)
+    return queries.map_batches(
+        TfidfSearchIndex,
+        fn_constructor_kwargs=dict(index_ref=index_ref, threshold=threshold,
+                                   field=field, id_col=id_col,
+                                   idf_ref=idf_ref, pred_tag=pred_tag),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)

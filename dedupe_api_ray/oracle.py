@@ -27,18 +27,64 @@ from dedupe_api_ray.functions import kernels
 from dedupe_api_ray.model import Model, _normalize_record, _record_keys, PredicateSpec
 
 
+def oracle_canopy(records: dict[int, dict], field: str,
+                  threshold: float) -> dict[int, int]:
+    """Naive O(n^2) canopy oracle, independent of the engine's
+    inverted-index implementation: same IDF formula, same pinned
+    ascending-record_id order, direct dict-dot cosine."""
+    n = len(records)
+    df: dict[str, int] = {}
+    tok_lists: dict[int, list[str]] = {}
+    for rid in records:
+        toks = records[rid].get(f"{field}__tokens")
+        if toks is None:
+            from dedupe_api_ray.functions.text import tokens_of
+            toks = tokens_of((records[rid].get(field) or "").lower())
+        tok_lists[rid] = toks
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    idf = {t: math.log(n / (1 + c)) + 1.0 for t, c in df.items()}
+    vecs: dict[int, dict[str, float]] = {}
+    for rid, toks in tok_lists.items():
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        v = {t: f * idf.get(t, 1.0) for t, f in tf.items()}
+        norm = math.sqrt(sum(w * w for w in v.values()))
+        if norm > 0:
+            v = {t: w / norm for t, w in v.items()}
+        vecs[rid] = v
+    assigned: dict[int, int] = {}
+    for rid in sorted(records):
+        if rid in assigned:
+            continue
+        assigned[rid] = rid
+        vc = vecs[rid]
+        for other in sorted(records):
+            if other in assigned:
+                continue
+            vo = vecs[other]
+            small, big = (vc, vo) if len(vc) <= len(vo) else (vo, vc)
+            cos = sum(w * big.get(t, 0.0) for t, w in small.items())
+            if cos >= threshold:
+                assigned[other] = rid
+    return assigned
+
+
 def oracle_block_keys(records: dict[int, dict], model: Model) -> dict[int, set[str]]:
     """pred_id-tagged block keys per record (Fingerprinter semantics †:
     keys are tagged '{pred}:{value}' so predicates never collide)."""
-    out: dict[int, set[str]] = {}
-    for rid, rec in records.items():
-        keys: set[str] = set()
-        for i, spec in enumerate(model.predicates):
-            if spec.kind == "tfidf_canopy":
-                continue  # canopy keys handled by the canopy oracle
+    out: dict[int, set[str]] = {rid: set() for rid in records}
+    for i, spec in enumerate(model.predicates):
+        if spec.kind == "tfidf_canopy":
+            canopy = oracle_canopy(records, spec.field,
+                                   spec.params.get("threshold", 0.4))
+            for rid, center in canopy.items():
+                out[rid].add(f"{i}:{center}")
+            continue
+        for rid, rec in records.items():
             for k in _record_keys(spec, rec):
-                keys.add(f"{i}:{k}")
-        out[rid] = keys
+                out[rid].add(f"{i}:{k}")
     return out
 
 

@@ -108,9 +108,22 @@ def partition(records: ray.data.Dataset, model: Model,
     fuzzy_input = add_tokens(fuzzy_input, model.field_defs)
     fuzzy_input = fuzzy_input.materialize()
 
+    canopy_specs = [(i, s) for i, s in enumerate(model.predicates)
+                    if s.kind == "tfidf_canopy"]
+
+    def build_blocking_map():
+        bm = fingerprint_records(fuzzy_input, model)
+        for i, spec in canopy_specs:
+            from dedupe_api_ray.blocking.canopy import tfidf_canopy_keys
+            ck = tfidf_canopy_keys(fuzzy_input, spec.field,
+                                   spec.params.get("threshold", 0.4),
+                                   id_col=id_col, pred_tag=str(i))
+            bm = bm.union(ck)
+        return bm
+
     blocking_map = ckpt.run_stage(
         "blocking_map", fingerprint_of(model_fp, "blocking_map"),
-        lambda: fingerprint_records(fuzzy_input, model))
+        build_blocking_map)
 
     pairs = ckpt.run_stage(
         "pairs", fingerprint_of(model_fp, "pairs", max_block_size, hard_cap),
