@@ -34,7 +34,7 @@ import subprocess
 import sys
 import time
 
-BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "40000"))
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "10000"))
 CORPUS_DIR = f"/tmp/dedupe_bench_corpus_{BENCH_ENTITIES}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
