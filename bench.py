@@ -34,7 +34,7 @@ import subprocess
 import sys
 import time
 
-BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "10000"))
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "25000"))
 CORPUS_DIR = f"/tmp/dedupe_bench_corpus_{BENCH_ENTITIES}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -89,8 +89,12 @@ def run_bench() -> dict:
     import ray.data
     from ray.data import DataContext
 
+    # cap the object store: the workload's blocks are small, and the
+    # default 37.5 GiB /dev/shm reservation plus 100+ worker heaps at
+    # num_cpus=32 pushed the node into OOM-killed workers.
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR",
+             object_store_memory=12 * 1024 ** 3)
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
@@ -122,7 +126,8 @@ def run_bench() -> dict:
                          "warc_ts": t["warc_ts"]})
 
     t0 = time.monotonic()
-    ingested = ray.data.read_parquet(pages_path) \
+    ingested = ray.data.read_parquet(
+            pages_path, override_num_blocks=NUM_CPUS * 3) \
         .map_batches(ingest_batch, batch_format="pyarrow", batch_size=2048)
     out_dir = f"/tmp/bench_out_{NUM_CPUS}/records"
     import shutil
@@ -141,7 +146,8 @@ def run_bench() -> dict:
         records.drop_columns(["url", "lang", "warc_ts"]),
         model, threshold=0.5,
         max_block_size=200, hard_cap=2000,
-        scorer_concurrency=(1, NUM_CPUS), exact_collapse=True)
+        scorer_concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS),
+        exact_collapse=True)
     em_df = em.to_pandas()
     queries["partition"] = round(time.monotonic() - t0, 2)
     rows["partition"] = len(em_df)
@@ -185,7 +191,12 @@ def run_scaling() -> None:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            sys.stderr.write(f"--- bench leg num_cpus={ncpu} failed "
+                             f"(rc={out.returncode}); stderr tail ---\n")
+            sys.stderr.write("\n".join(out.stderr.splitlines()[-40:]) + "\n")
+            raise SystemExit(1)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     ensure_corpus()  # generate once, outside both timed runs

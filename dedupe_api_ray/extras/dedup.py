@@ -111,7 +111,9 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> ray.data.Dataset:
     from dedupe_api_ray.stages.blocking import distinct_pairs
-    pairs = band_rows.groupby("band_key").map_groups(
+    from dedupe_api_ray.utils import shuffle_partitions
+    pairs = band_rows.groupby("band_key",
+                              num_partitions=shuffle_partitions()).map_groups(
         _bucket_pairs, batch_format="pandas")
     return distinct_pairs(pairs)
 

@@ -245,7 +245,15 @@ class Model:
     def data_model(self) -> DataModel:
         return DataModel(self.field_defs, self.idf)
 
+    classifier: object = None  # swappable sklearn-like predict_proba
+    # (dedupe exposes a swappable `classifier` attribute †; anything
+    # picklable with predict_proba(X) -> (n, 2) or (n,) works)
+
     def predict_proba(self, x: np.ndarray) -> np.ndarray:
+        if self.classifier is not None:
+            p = self.classifier.predict_proba(x)
+            p = np.asarray(p)
+            return p[:, 1] if p.ndim == 2 else p
         z = x @ self.weights + self.bias
         return 1.0 / (1.0 + np.exp(-z))
 
@@ -441,6 +449,18 @@ def train_model(records: dict[int, dict], labeled_pairs: list[tuple[int, int, bo
                                   max_predicates=max_predicates)
     return Model(field_defs=field_defs, predicates=predicates,
                  weights=weights, bias=bias, idf=idf)
+
+
+def sample_records(ds, n: int, seed: int = 42) -> dict[int, dict]:
+    """O2 †: random record sample for training
+    (dedupe:dedupe/api.py::prepare_training / core.randomPairs).
+    Driver-side dict keyed by record_id, like the reference's
+    data_d."""
+    total = ds.count()
+    frac = min(1.0, (n * 1.2) / max(total, 1))
+    rows = ds.random_sample(frac, seed=seed).limit(n).take_all()
+    return {r["record_id"]: {k: v for k, v in r.items()
+                             if k != "record_id"} for r in rows}
 
 
 def _normalize_record(rec: dict, field_defs: list[FieldDef]) -> dict:

@@ -62,6 +62,17 @@ def partition(records: ray.data.Dataset, model: Model,
     is the min record_id of the cluster (deterministic across
     parallelism — SURVEY.md §4.6).
     """
+    import os
+    import time as _time
+
+    _debug = bool(os.environ.get("DEDUPE_DEBUG_TIMING"))
+    _t0 = _time.monotonic()
+
+    def _mark(label: str) -> None:
+        if _debug:
+            print(f"[partition {_time.monotonic() - _t0:7.1f}s] {label}",
+                  flush=True)
+
     from dedupe_api_ray.utils import default_num_partitions
     num_partitions = default_num_partitions(num_partitions)
     ckpt = CheckpointManager(ckpt_dir)
@@ -90,6 +101,7 @@ def partition(records: ray.data.Dataset, model: Model,
                          if f.type != "Interaction"})
         hashed = add_row_hash(prepared, fields)
         hashed = hashed.materialize()
+        _mark("hashed materialized")
         # representative = min record_id per row_hash
         reps = hashed.groupby("row_hash").min(id_col)
         reps = reps.map_batches(
@@ -98,6 +110,7 @@ def partition(records: ray.data.Dataset, model: Model,
         joined = hashed.join(reps, join_type="inner",
                              num_partitions=num_partitions, on=("row_hash",))
         joined = joined.materialize()
+        _mark("collapse join materialized")
         dupes_map = joined.map_batches(
             lambda t: t.filter(pc.not_equal(t[id_col], t["rep_id"]))
             .select([id_col, "rep_id"]), batch_format="pyarrow")
@@ -107,6 +120,7 @@ def partition(records: ray.data.Dataset, model: Model,
 
     fuzzy_input = add_tokens(fuzzy_input, model.field_defs)
     fuzzy_input = fuzzy_input.materialize()
+    _mark('fuzzy_input ready')
 
     canopy_specs = [(i, s) for i, s in enumerate(model.predicates)
                     if s.kind == "tfidf_canopy"]
@@ -124,6 +138,7 @@ def partition(records: ray.data.Dataset, model: Model,
     blocking_map = ckpt.run_stage(
         "blocking_map", fingerprint_of(model_fp, "blocking_map"),
         build_blocking_map)
+    _mark('blocking_map stage defined')
 
     pairs = ckpt.run_stage(
         "pairs", fingerprint_of(model_fp, "pairs", max_block_size, hard_cap),
@@ -138,28 +153,50 @@ def partition(records: ray.data.Dataset, model: Model,
 
     scored = ckpt.run_stage(
         "scores", fingerprint_of(model_fp, "scores"), do_score)
+    _mark('scores stage defined')
 
     clustered = cluster_scored_pairs(scored, threshold=threshold,
                                      cc_mode=cc_mode)
     clustered = clustered.materialize()
+    _mark('clustered materialized')
 
-    # singletons: records with no above-threshold edge
+    # singletons: records with no above-threshold edge.  These joins
+    # run over row counts ~= the record count, so size their partition
+    # count by DATA, not CPUs — join aggregator-actor startup dominates
+    # small joins otherwise.
+    n_fuzzy = fuzzy_input.count()
+    np_small = max(2, min(num_partitions, n_fuzzy // 100_000 + 2))
     all_ids = fuzzy_input.select_columns([id_col])
-    assigned = clustered.map_batches(
-        lambda t: t.rename_columns(["__rid", "cluster_id", "confidence"]),
-        batch_format="pyarrow")
-    left = all_ids.join(assigned, join_type="left_outer",
-                        num_partitions=num_partitions,
-                        on=(id_col,), right_on=("__rid",))
+    if clustered.count() == 0:
+        # no above-threshold edges at all: everyone is a singleton
+        # (empty right sides lose their schema in Ray 2.49 joins)
+        entity_map = all_ids.map_batches(
+            lambda t: pa.table({
+                "record_id": t[id_col], "cluster_id": t[id_col],
+                "confidence": pa.array(np.ones(len(t)), pa.float64())}),
+            batch_format="pyarrow").materialize()
+    else:
+        assigned = clustered.map_batches(
+            lambda t: t.rename_columns(["__rid", "cluster_id", "confidence"]),
+            batch_format="pyarrow")
+        left = all_ids.join(assigned, join_type="left_outer",
+                            num_partitions=np_small,
+                            on=(id_col,), right_on=("__rid",))
 
-    def fill_singletons(batch: pa.Table) -> pa.Table:
-        rid = batch[id_col]
-        cid = pc.coalesce(batch["cluster_id"], rid)
-        conf = pc.coalesce(batch["confidence"], pa.scalar(1.0, pa.float64()))
-        return pa.table({"record_id": rid, "cluster_id": cid,
-                         "confidence": conf})
+        def fill_singletons(batch: pa.Table) -> pa.Table:
+            rid = batch[id_col]
+            cid = pc.coalesce(batch["cluster_id"], rid)
+            conf = pc.coalesce(batch["confidence"],
+                               pa.scalar(1.0, pa.float64()))
+            return pa.table({"record_id": rid, "cluster_id": cid,
+                             "confidence": conf})
 
-    entity_map = left.map_batches(fill_singletons, batch_format="pyarrow")
+        # materialize: the dup-rejoin branch consumes entity_map twice
+        # (union side + rep lookup side); lazy it would execute the
+        # left-outer join twice.
+        entity_map = left.map_batches(fill_singletons,
+                                      batch_format="pyarrow").materialize()
+    _mark("entity_map (pre-dup) materialized")
 
     if exact_collapse and dupes_map is not None and dupes_map.count() > 0:
         # duplicates rejoin with their representative's cluster (M5 †);
@@ -168,7 +205,7 @@ def partition(records: ray.data.Dataset, model: Model,
             lambda t: t.rename_columns(["rep_id", "cluster_id", "confidence"]),
             batch_format="pyarrow")
         dup_rows = dupes_map.join(rep_assign, join_type="inner",
-                                  num_partitions=num_partitions,
+                                  num_partitions=np_small,
                                   on=("rep_id",))
         dup_rows = dup_rows.map_batches(
             lambda t: pa.table({
@@ -183,3 +220,45 @@ def partition(records: ray.data.Dataset, model: Model,
             "entity_map", fingerprint_of(model_fp, "entity_map"),
             lambda: entity_map)
     return entity_map
+
+
+def dedupe_canon(records: ray.data.Dataset, model: Model,
+                 threshold: float = 0.5, *,
+                 id_col: str = "record_id",
+                 **partition_kwargs) -> tuple[ray.data.Dataset,
+                                              ray.data.Dataset]:
+    """E1 tail (dedupe-api:api/utils/delayed_tasks.py::dedupeCanon †):
+    first partition, then canonicalize each cluster to a single
+    representative record, re-run block/score/cluster on the canonical
+    records, and compose the two entity maps (a record's final cluster
+    is its canon rep's second-round cluster).
+
+    Returns (final_entity_map, canon_records)."""
+    from dedupe_api_ray.stages.canonicalize import canonicalize
+    from dedupe_api_ray.utils import default_num_partitions
+
+    num_partitions = default_num_partitions(
+        partition_kwargs.get("num_partitions"))
+    em1 = partition(records, model, threshold, id_col=id_col,
+                    **partition_kwargs).materialize()
+    fields = [f.field for f in model.field_defs if f.type != "Interaction"]
+    canon = canonicalize(em1, records, fields).materialize()
+    canon_records = canon.map_batches(
+        lambda t: t.drop_columns(["n_members"])
+        .rename_columns(["record_id", *fields]),
+        batch_format="pyarrow")
+    em2 = partition(canon_records, model, threshold,
+                    **partition_kwargs).materialize()
+    # compose: record → cluster1 (canon rep id) → cluster2
+    em2_renamed = em2.map_batches(
+        lambda t: pa.table({"cluster_id": t["record_id"],
+                            "final_cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow")
+    final = em1.join(em2_renamed, join_type="inner",
+                     num_partitions=num_partitions, on=("cluster_id",))
+    final = final.map_batches(
+        lambda t: pa.table({"record_id": t["record_id"],
+                            "cluster_id": t["final_cluster_id"],
+                            "confidence": t["confidence"]}),
+        batch_format="pyarrow")
+    return final, canon_records

@@ -180,8 +180,11 @@ def distinct_pairs(pairs: ray.data.Dataset, col_a: str = "id_a",
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates([col_a, col_b])[[col_a, col_b]]
 
+    from dedupe_api_ray.utils import shuffle_partitions
     return pairs.map_batches(bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(dedup, batch_format="pandas")
+        .groupby("__bucket",
+                 num_partitions=min(num_buckets, shuffle_partitions())) \
+        .map_groups(dedup, batch_format="pandas")
 
 
 def candidate_pairs(blocking_map: ray.data.Dataset,
@@ -240,7 +243,10 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
                          "record_id": pa.array(o_rid, pa.int64()),
                          "sub": pa.array(o_sub, pa.int64())})
 
+    from dedupe_api_ray.utils import shuffle_partitions
+
     salted = blocking_map.map_batches(salt, batch_format="pyarrow")
-    pairs = salted.groupby("block_key").map_groups(
+    pairs = salted.groupby("block_key",
+                           num_partitions=shuffle_partitions()).map_groups(
         _emit_pairs_group, batch_format="pandas")
     return distinct_pairs(pairs)

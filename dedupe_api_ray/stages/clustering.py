@@ -86,8 +86,9 @@ def _min_neighbor(edges: ray.data.Dataset) -> ray.data.Dataset:
         mins = np.minimum.reduceat(vs, starts)
         return pa.table({"u": pa.array(uniq), "v": pa.array(mins)})
 
+    from dedupe_api_ray.utils import shuffle_partitions
     mins = edges.map_batches(partial, batch_format="pyarrow") \
-        .groupby("u").min("v")
+        .groupby("u", num_partitions=shuffle_partitions()).min("v")
     return mins.map_batches(
         lambda t: t.rename_columns(["u", "mn"]), batch_format="pyarrow")
 
@@ -373,6 +374,13 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
         lambda t: t.filter(pc.greater_equal(t["score"], threshold)),
         batch_format="pyarrow")
     kept = kept.materialize()
+    if kept.count() == 0:
+        # empty datasets lose their schema through joins (Ray 2.49):
+        # short-circuit to an empty, correctly-typed entity fragment
+        return ray.data.from_arrow(pa.table({
+            "record_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "confidence": pa.array([], pa.float64())}))
     edges = kept.map_batches(
         lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
         batch_format="pyarrow")
@@ -391,5 +399,56 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
     def cluster_component(g: pd.DataFrame) -> pd.DataFrame:
         return clusterer(g)
 
-    return with_comp.groupby("component_id").map_groups(
+    from dedupe_api_ray.utils import shuffle_partitions
+    return with_comp.groupby("component_id",
+                             num_partitions=shuffle_partitions()).map_groups(
         cluster_component, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# G3: greedy one-to-one matching (RecordLink; dedupe:dedupe/clustering.py::
+# greedyMatching †) — accept pairs in score-desc order, each record at
+# most once.  Independent per connected component, so the distributed
+# shape is: CC over above-threshold pairs → per-component map_groups
+# greedy sweep (a component's sweep only needs its own edges).
+# ---------------------------------------------------------------------------
+
+
+def _greedy_group(g: pd.DataFrame) -> pd.DataFrame:
+    g = g.sort_values(["score", "id_a", "id_b"],
+                      ascending=[False, True, True])
+    taken: set[int] = set()
+    keep = []
+    for a, b, s in zip(g["id_a"], g["id_b"], g["score"]):
+        if a in taken or b in taken:
+            continue
+        taken.add(a)
+        taken.add(b)
+        keep.append((a, b, s))
+    return pd.DataFrame(keep, columns=["id_a", "id_b", "score"])
+
+
+def greedy_matching(scored: ray.data.Dataset, threshold: float = 0.5,
+                    cc_mode: str = "auto") -> ray.data.Dataset:
+    """scored (id_a, id_b, score) → one-to-one matches above
+    threshold; globally identical to a single sorted sweep because
+    matches never cross connected components."""
+    kept = scored.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["score"], threshold)),
+        batch_format="pyarrow")
+    kept = kept.materialize()
+    if kept.count() == 0:
+        return kept
+    edges = kept.map_batches(
+        lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
+        batch_format="pyarrow")
+    labels = connected_components(edges, mode=cc_mode)
+    labels_renamed = labels.map_batches(
+        lambda t: t.rename_columns(["id_a", "component_id"]),
+        batch_format="pyarrow")
+    from dedupe_api_ray.utils import default_num_partitions
+    with_comp = kept.join(labels_renamed, join_type="inner",
+                          num_partitions=default_num_partitions(),
+                          on=("id_a",))
+    return with_comp.groupby("component_id").map_groups(
+        _greedy_group, batch_format="pandas")

@@ -20,3 +20,17 @@ def default_num_partitions(requested: int | None = None,
     except Exception:
         cpus = 4
     return max(2, cpus - reserve)
+
+
+def shuffle_partitions(requested: int | None = None) -> int:
+    """Output-partition count for hot groupby/map_groups shuffles.
+    Ray's sort-based groupby otherwise inherits the upstream block
+    count (often ~the number of read tasks), which caps map_groups
+    parallelism far below the CPU count."""
+    if requested is not None:
+        return max(2, requested)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(8, cpus * 2)
