@@ -146,8 +146,7 @@ def run_bench() -> dict:
         records.drop_columns(["url", "lang", "warc_ts"]),
         model, threshold=0.5,
         max_block_size=200, hard_cap=2000,
-        scorer_concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS),
-        exact_collapse=True)
+        scorer_concurrency=(1, NUM_CPUS), exact_collapse=True)
     em_df = em.to_pandas()
     queries["partition"] = round(time.monotonic() - t0, 2)
     rows["partition"] = len(em_df)
