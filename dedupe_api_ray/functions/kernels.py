@@ -196,7 +196,8 @@ def cosine_similarity(tokens_a: list[str] | None, tokens_b: list[str] | None,
         return 0.0
     na = math.sqrt(sum((f * (get(t, 1.0) if get else 1.0)) ** 2 for t, f in ca.items()))
     nb = math.sqrt(sum((f * (get(t, 1.0) if get else 1.0)) ** 2 for t, f in cb.items()))
-    return num / (na * nb)
+    v = num / (na * nb)
+    return 1.0 if v > 1.0 else v  # clamp float noise (identical sets)
 
 
 def tf_stats(tokens: list[str], idf: dict[str, float] | None = None
@@ -227,7 +228,8 @@ def cosine_from_stats(ca: dict[str, int], na: float,
             num += fa * fb * w * w
     if num == 0.0:
         return 0.0
-    return num / (na * nb)
+    v = num / (na * nb)
+    return 1.0 if v > 1.0 else v  # same clamp as cosine_similarity
 
 
 def cosine_similarity_batch(tokens_a: list, tokens_b: list,
