@@ -494,6 +494,39 @@ def _q_recordlink_pairs(sf_dir: str):
     return recordlink_candidate_pairs(side_a, side_b, model)
 
 
+def _q_tfidf_canopy(sf_dir: str):
+    """P20 canopy assignment over documents.text (rows-only: canopy is
+    insertion-order-dependent and not SQL-expressible; key-for-key
+    parity vs the naive O(n^2) oracle is covered in tests/)."""
+    from dedupe_api_ray.blocking.canopy import tfidf_canopy_keys
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table({"record_id": t["doc_id"], "text": t["text"]}),
+        batch_format="pyarrow").materialize()
+    return tfidf_canopy_keys(docs, "text", threshold=0.6, pred_tag="canopy")
+
+
+def _q_levenshtein_canopy(sf_dir: str):
+    """P22 canopy over the source column (short strings)."""
+    from dedupe_api_ray.blocking.levenshtein import levenshtein_canopy_keys
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table({"record_id": t["doc_id"], "source": t["source"]}),
+        batch_format="pyarrow").materialize()
+    return levenshtein_canopy_keys(docs, "source", distance=1)
+
+
+def _q_greedy_matching(sf_dir: str):
+    """G3 over the verified near-dup pairs (jaccard as score)."""
+    from dedupe_api_ray.stages.clustering import greedy_matching
+
+    pairs = _q_near_dup_pairs(sf_dir).map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                            "score": t["jaccard"]}),
+        batch_format="pyarrow")
+    return greedy_matching(pairs, threshold=0.6)
+
+
 def _q_flagship_dedupe(sf_dir: str):
     """Full partition() over documents (rows-only check: one entity row
     per doc; clustering itself is covered by the golden-parity tests)."""
@@ -544,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazetteer_topk": _q_gazetteer_topk,
         # similarity search
         "embedding_topk": _q_embedding_topk,
+        # canopy / levenshtein / greedy (order-dependent → rows-only)
+        "tfidf_canopy": _q_tfidf_canopy,
+        "levenshtein_canopy": _q_levenshtein_canopy,
+        "greedy_matching": _q_greedy_matching,
         # flagship
         "flagship_dedupe": _q_flagship_dedupe,
     }
