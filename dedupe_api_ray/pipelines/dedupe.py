@@ -146,10 +146,13 @@ def partition(records: ray.data.Dataset, model: Model,
                                 hard_cap=hard_cap))
 
     def do_score():
+        from dedupe_api_ray.stages.scoring import build_tf_sidecar
+        sidecar = build_tf_sidecar(fuzzy_input, model)
         with_payload = attach_payload(pairs, fuzzy_input, model,
                                       num_partitions=num_partitions)
         return score_pairs(with_payload, model,
-                           concurrency=scorer_concurrency)
+                           concurrency=scorer_concurrency,
+                           sidecar_refs=sidecar)
 
     scored = ckpt.run_stage(
         "scores", fingerprint_of(model_fp, "scores"), do_score)

@@ -103,6 +103,105 @@ def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
     return joined
 
 
+
+
+# ---------------------------------------------------------------------------
+# TF-stats sidecar: per-record cosine state computed ONCE (distributed)
+# and broadcast, instead of per actor.  Without it every scorer actor
+# rebuilt token stats for every record it saw (cost x actor count).
+# Values are exact up to float summation order (sorted-hash vs token
+# order); parity tests use 1e-5 tolerance.
+# ---------------------------------------------------------------------------
+
+
+def _hash_tokens_batch(lists: list[list[str]], idf: dict | None,
+                       memo: dict) -> tuple[list, list, list]:
+    import hashlib
+
+    out_h, out_w, out_n = [], [], []
+    for toks in lists:
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        hs = np.empty(len(tf), dtype=np.uint64)
+        ws = np.empty(len(tf), dtype=np.float64)
+        for i, (t, f) in enumerate(tf.items()):
+            h = memo.get(t)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                memo[t] = h
+            hs[i] = h
+            ws[i] = f * (idf.get(t, 1.0) if idf is not None else 1.0)
+        order = np.argsort(hs)
+        hs, ws = hs[order], ws[order]
+        norm = float(np.sqrt((ws * ws).sum()))
+        out_h.append(hs.astype(np.int64).tolist())
+        out_w.append(ws.tolist())
+        out_n.append(norm)
+    return out_h, out_w, out_n
+
+
+def build_tf_sidecar(records: ray.data.Dataset, model: Model):
+    """For each Text field: compute (sorted token hashes, idf-weighted
+    counts, norm) per record in a distributed pass, assemble flat
+    numpy arrays driver-side, ``ray.put`` once.  Returns
+    {field: ObjectRef} or None if the model has no Text fields."""
+    from dedupe_api_ray.functions.text import tokens_of
+
+    text_fields = [f.field for f in model.field_defs if f.type == "Text"]
+    if not text_fields:
+        return None
+    refs = {}
+    for field in text_fields:
+        idf = model.idf.get(field)
+        idf_ref = ray.put(idf)
+
+        def stats_batch(t: pa.Table, _field=field) -> pa.Table:
+            _idf = ray.get(idf_ref)
+            memo: dict = {}
+            tok_col = f"{_field}__tokens"
+            if tok_col in t.column_names:
+                lists = t[tok_col].to_pylist()
+            else:
+                lists = [tokens_of(v) if v else []
+                         for v in t[_field].to_pylist()]
+            hs, ws, ns = _hash_tokens_batch(lists, _idf, memo)
+            return pa.table({
+                "record_id": t["record_id"],
+                "hashes": pa.array(hs, pa.list_(pa.int64())),
+                "weights": pa.array(ws, pa.list_(pa.float64())),
+                "norm": pa.array(ns, pa.float64()),
+            })
+
+        rows = {"record_id": [], "hashes": [], "weights": [], "norm": []}
+        for b in records.map_batches(stats_batch, batch_format="pyarrow")                 .iter_batches(batch_format="pyarrow", batch_size=65536):
+            rows["record_id"].extend(b["record_id"].to_pylist())
+            rows["hashes"].extend(b["hashes"].to_pylist())
+            rows["weights"].extend(b["weights"].to_pylist())
+            rows["norm"].extend(b["norm"].to_pylist())
+        rid = np.asarray(rows["record_id"], dtype=np.int64)
+        order = np.argsort(rid, kind="stable")
+        lens = np.fromiter((len(rows["hashes"][k]) for k in order),
+                           dtype=np.int64, count=len(order))
+        offsets = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat_h = np.empty(int(offsets[-1]), dtype=np.uint64)
+        flat_w = np.empty(int(offsets[-1]), dtype=np.float64)
+        for j, k in enumerate(order):
+            flat_h[offsets[j]:offsets[j + 1]] = np.asarray(
+                rows["hashes"][k], dtype=np.int64).astype(np.uint64)
+            flat_w[offsets[j]:offsets[j + 1]] = rows["weights"][k]
+        refs[field] = ray.put({
+            "rid": rid[order],
+            "offsets": offsets,
+            "hashes": flat_h,
+            "weights": flat_w,
+            "norms": np.asarray(rows["norm"], dtype=np.float64)[order],
+        })
+    return refs
+
+
 class PairScorer:
     """A1 (†): classifier + distance kernels held per actor.
 
@@ -115,7 +214,7 @@ class PairScorer:
 
     _CACHE_CAP = 500_000  # per-actor entries; cleared when exceeded
 
-    def __init__(self, model_ref):
+    def __init__(self, model_ref, sidecar_refs=None):
         self.model: Model = ray.get(model_ref) if isinstance(
             model_ref, ray.ObjectRef) else model_ref
         self.dm = self.model.data_model()
@@ -123,9 +222,45 @@ class PairScorer:
         self.text_fields = [f.field for f in self.model.field_defs
                             if f.type == "Text"]
         self._tf_cache: dict[tuple[str, int], tuple] = {}
+        # sidecar: shared per-record cosine state (zero rebuild per actor)
+        self.sidecar = {}
+        if sidecar_refs:
+            for field, ref in sidecar_refs.items():
+                self.sidecar[field] = ray.get(ref)
+
+    def _cosine_sidecar(self, field: str, batch: pa.Table) -> np.ndarray:
+        sc = self.sidecar[field]
+        rid, offs = sc["rid"], sc["offsets"]
+        fh, fw, norms = sc["hashes"], sc["weights"], sc["norms"]
+        ids_a = batch["id_a"].to_numpy(zero_copy_only=False)
+        ids_b = batch["id_b"].to_numpy(zero_copy_only=False)
+        pa_pos = np.searchsorted(rid, ids_a)
+        pb_pos = np.searchsorted(rid, ids_b)
+        n = len(ids_a)
+        out = np.full(n, np.nan, dtype=np.float64)
+        for i in range(n):
+            ja, jb = pa_pos[i], pb_pos[i]
+            a0, a1 = offs[ja], offs[ja + 1]
+            b0, b1 = offs[jb], offs[jb + 1]
+            if a1 == a0 or b1 == b0:
+                continue  # missing side -> NaN
+            ha = fh[a0:a1]
+            hb = fh[b0:b1]
+            pos = np.searchsorted(ha, hb)
+            pos_c = np.minimum(pos, len(ha) - 1)
+            valid = ha[pos_c] == hb
+            if not valid.any():
+                out[i] = 0.0
+                continue
+            num = float((fw[a0:a1][pos_c[valid]] * fw[b0:b1][valid]).sum())
+            v = num / (norms[ja] * norms[jb])
+            out[i] = 1.0 if v > 1.0 else v
+        return out
 
     def _cosine_col(self, field: str, batch: pa.Table,
                     names: set[str]) -> np.ndarray:
+        if field in self.sidecar:
+            return self._cosine_sidecar(field, batch)
         from dedupe_api_ray.functions.kernels import (cosine_from_stats,
                                                       tf_stats)
         from dedupe_api_ray.functions.text import tokens_of
@@ -179,10 +314,11 @@ class PairScorer:
 
 
 def score_pairs(pairs_with_payload: ray.data.Dataset, model: Model,
-                concurrency: int | tuple = (1, 8), batch_size: int = 4096
-                ) -> ray.data.Dataset:
+                concurrency: int | tuple = (1, 8), batch_size: int = 4096,
+                sidecar_refs=None) -> ray.data.Dataset:
     model_ref = ray.put(model)
     return pairs_with_payload.map_batches(
-        PairScorer, fn_constructor_kwargs={"model_ref": model_ref},
+        PairScorer, fn_constructor_kwargs={"model_ref": model_ref,
+                                           "sidecar_refs": sidecar_refs},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
