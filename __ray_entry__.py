@@ -170,6 +170,29 @@ def _q_candidate_pairs(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_latlong_grid(sf_dir: str):
+    """P17 latLongGridPredicate through the registry: deterministic
+    synthetic (lat, lon) per doc (pure integer-mod arithmetic mirrored
+    exactly in the oracle SQL), blocked into 0.1-degree grid cells."""
+    from dedupe_api_ray.model import PredicateSpec, _record_keys
+
+    spec = PredicateSpec("simple", "loc", "latLongGridPredicate")
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_k, out_i = [], []
+        for did in t["doc_id"].to_pylist():
+            lat = ((did * 7919) % 18000) / 100.0 - 90.0
+            lon = ((did * 104729) % 36000) / 100.0 - 180.0
+            for key in _record_keys(spec, {"loc": [lat, lon]}):
+                out_k.append(key)
+                out_i.append(did)
+        return pa.table({"block_key": pa.array(out_k, pa.string()),
+                         "doc_id": pa.array(out_i, pa.int64())})
+
+    return _docs(sf_dir).select_columns(["doc_id"]) \
+        .map_batches(fn, batch_format="pyarrow")
+
+
 def _q_df_counts(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         out_tok: list[str] = []
@@ -326,42 +349,27 @@ def _q_minhash_bands(sf_dir: str):
 
 
 def _q_near_dup_pairs(sf_dir: str):
-    """LSH candidates from the md5 band keys, verified with exact
-    token-set Jaccard >= 0.6."""
+    """LSH candidates from the md5 band keys (hot buckets salted
+    losslessly — extras.dedup.lsh_candidate_pairs), verified with exact
+    token-set Jaccard >= 0.6 via the size-routed payload path (join
+    above the broadcast threshold — no whole-corpus broadcast at
+    scale)."""
+    from dedupe_api_ray.extras.dedup import (jaccard_verify_pairs,
+                                             lsh_candidate_pairs)
+
     bands = _q_minhash_bands(sf_dir)
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-    from dedupe_api_ray.stages.blocking import distinct_pairs
 
     # band_key is an md5 hex over the band's hashes; collisions across
     # band indexes are impossible in practice, but fold band in anyway
     def fold(t: pa.Table) -> pa.Table:
         key = [f"{b}|{k}" for b, k in zip(t["band"].to_pylist(),
                                           t["band_key"].to_pylist())]
-        return pa.table({"bkey": pa.array(key, pa.string()),
+        return pa.table({"band_key": pa.array(key, pa.string()),
                          "doc_id": t["doc_id"]})
 
-    cands = bands.map_batches(fold, batch_format="pyarrow") \
-        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
-    cands = distinct_pairs(cands)
-
-    from dedupe_api_ray.extras.dedup import JaccardVerifier
-    docs_tbl = pa.concat_tables(list(
-        _docs(sf_dir).map_batches(
-            lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text"]}),
-            batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=65536)))
-    ref = ray.put(docs_tbl)
-    return cands.map_batches(
-        JaccardVerifier, fn_constructor_kwargs=dict(docs_ref=ref,
-                                                    threshold=0.6),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    cands = lsh_candidate_pairs(bands.map_batches(fold,
+                                                  batch_format="pyarrow"))
+    return jaccard_verify_pairs(cands, _docs(sf_dir), threshold=0.6)
 
 
 def _q_simhash(sf_dir: str):
@@ -563,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_first_token": _q_blocking_first_token,
         "blocking_multi_predicate": _q_blocking_multi_predicate,
         "candidate_pairs_first_token": _q_candidate_pairs,
+        "latlong_grid_blocking": _q_latlong_grid,
         "recordlink_pairs": _q_recordlink_pairs,
         # aggregates / sorts / top-k (G4/G5, O1–O4)
         "df_counts": _q_df_counts,
@@ -656,6 +665,14 @@ WITH toks AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bm a JOIN bm b USING (block_key)
             WHERE a.source = 'src0' AND b.source = 'src1'""",
+        "latlong_grid_blocking": """
+            SELECT cast(cast(floor((((doc_id * 7919) % 18000) / 100.0 - 90.0) * 10) AS BIGINT) AS VARCHAR)
+                   || '|' ||
+                   cast(cast(floor((((doc_id * 104729) % 36000) / 100.0 - 180.0) * 10) AS BIGINT) AS VARCHAR)
+                   AS block_key, doc_id
+            FROM documents
+            WHERE NOT (((doc_id * 7919) % 18000) = 9000
+                       AND ((doc_id * 104729) % 36000) = 18000)""",
         "df_counts": f"""
             SELECT tok AS token, count(*) AS df FROM (
               SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok

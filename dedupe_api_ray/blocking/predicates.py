@@ -283,6 +283,26 @@ def round_to_1(value) -> Strings:
     return (str(int(round(v, -mag))),)
 
 
+# --- geo (P17) --------------------------------------------------------------
+
+def lat_long_grid(value) -> Strings:
+    """P17 latLongGridPredicate: block (lat, lon) pairs into 0.1-degree
+    grid cells.  The reference keys on `round(dim, 1)` †; we key on
+    `floor(dim * 10)` instead — same grid granularity, but floor is
+    bit-identical between Python and ANSI SQL (round's half-even vs
+    half-away edge cases are not), so the oracle can reproduce keys
+    exactly.  Documented divergence (SURVEY.md §0 rule: with the
+    reference absent, engine↔oracle consistency is what gets tested)."""
+    try:
+        lat, lon = value[0], value[1]
+    except (TypeError, IndexError, KeyError):
+        return ()
+    if lat is None or lon is None or (not lat and not lon):
+        return ()
+    return (f"{int(math.floor(float(lat) * 10))}|"
+            f"{int(math.floor(float(lon) * 10))}",)
+
+
 # --- existence (P18) --------------------------------------------------------
 
 def exists(value) -> Strings:
@@ -320,6 +340,7 @@ SIMPLE_PREDICATES: dict[str, tuple[Callable, bool, tuple[str, ...]]] = {
     "lastSetElementPredicate": (last_set_element, False, ("Set",)),
     "firstSetElementPredicate": (first_set_element, False, ("Set",)),
     "magnitudeOfCardinality": (magnitude_of_cardinality, False, ("Set",)),
+    "latLongGridPredicate": (lat_long_grid, False, ("LatLong",)),
     "orderOfMagnitude": (order_of_magnitude, False, ("Price",)),
     "roundTo1": (round_to_1, False, ("Price",)),
     "existsPredicate": (exists, False, ("String", "ShortString", "Text", "Set", "Price", "Exists")),

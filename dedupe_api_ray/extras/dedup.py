@@ -101,21 +101,27 @@ def minhash_band_rows(ds: ray.data.Dataset, num_perm: int = 64,
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = np.unique(g["doc_id"].to_numpy())
-    if len(ids) < 2 or len(ids) > 5000:  # runaway-bucket guard, logged upstream
-        return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+def lsh_candidate_pairs(band_rows: ray.data.Dataset,
+                        max_bucket: int = 5000,
+                        hard_cap: int | None = None,
+                        metrics: dict | None = None) -> ray.data.Dataset:
+    """Band rows → distinct candidate pairs.  Hot buckets (boilerplate-
+    heavy web text puts thousands of near-identical pages in one band
+    bucket) are NOT dropped: buckets above ``max_bucket`` are salted
+    into sub-blocks with lossless cross-(i,j) enumeration — the same
+    skew handling as predicate blocking (stages.blocking
+    .candidate_pairs).  Only an explicit ``hard_cap`` drops keys, and
+    drops are logged + reported via ``metrics``."""
+    from dedupe_api_ray.stages.blocking import candidate_pairs
 
-
-def lsh_candidate_pairs(band_rows: ray.data.Dataset) -> ray.data.Dataset:
-    from dedupe_api_ray.stages.blocking import distinct_pairs
-    from dedupe_api_ray.utils import shuffle_partitions
-    pairs = band_rows.groupby("band_key",
-                              num_partitions=shuffle_partitions()).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    return distinct_pairs(pairs)
+    bm = band_rows.map_batches(
+        lambda t: pa.table({
+            "block_key": pc.cast(t["band_key"], pa.string()),
+            "record_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    return candidate_pairs(bm, max_block_size=max_bucket,
+                           hard_cap=hard_cap if hard_cap is not None
+                           else (1 << 62), metrics=metrics)
 
 
 class JaccardVerifier:
@@ -147,25 +153,106 @@ class JaccardVerifier:
         return tbl
 
 
+class JoinedJaccardVerifier:
+    """Verify pairs whose texts arrive WITH the pair rows (join path —
+    no corpus broadcast).  A per-actor tokenset cache keyed by doc id
+    avoids re-tokenizing a document for every pair it appears in."""
+
+    _CACHE_CAP = 500_000
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+        self.cache: dict[int, frozenset] = {}
+
+    def _tokset(self, rid: int, text) -> frozenset:
+        s = self.cache.get(rid)
+        if s is None:
+            if len(self.cache) > self._CACHE_CAP:
+                self.cache.clear()
+            s = frozenset(TOKEN_RE.findall((text or "").lower()))
+            self.cache[rid] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ida = batch["id_a"].to_pylist()
+        idb = batch["id_b"].to_pylist()
+        ta = batch["a_text"].to_pylist()
+        tb = batch["b_text"].to_pylist()
+        sims = np.empty(len(ida))
+        for i in range(len(ida)):
+            sa = self._tokset(ida[i], ta[i])
+            sb = self._tokset(idb[i], tb[i])
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            sims[i] = inter / union if union else 0.0
+        keep = sims >= self.threshold
+        return pa.table({"id_a": pa.array(np.asarray(batch["id_a"])[keep]),
+                         "id_b": pa.array(np.asarray(batch["id_b"])[keep]),
+                         "jaccard": pa.array(np.round(sims[keep], 6),
+                                             pa.float64())})
+
+
 def near_dup_pairs_minhash(docs: ray.data.Dataset, threshold: float = 0.5,
                            num_perm: int = 64, bands: int = 16,
-                           text_col: str = "text", id_col: str = "doc_id"
-                           ) -> ray.data.Dataset:
+                           text_col: str = "text", id_col: str = "doc_id",
+                           broadcast_threshold: int = 2_000_000,
+                           max_bucket: int = 5000,
+                           metrics: dict | None = None) -> ray.data.Dataset:
     """documents → verified near-dup pairs (id_a, id_b, jaccard >= t).
-    Verification payload is broadcast; at 100 TB swap the broadcast for
-    a payload join (attach_payload pattern in stages.scoring)."""
+
+    Verification payload routing follows the small-side rule: a corpus
+    up to ``broadcast_threshold`` docs is broadcast once (``ray.put``,
+    dict probe per batch); a larger corpus is hash-joined onto the
+    pairs (two ``Dataset.join`` passes, a_text/b_text columns) so no
+    single object ever holds the whole corpus — the 100 TB path."""
     band_rows = minhash_band_rows(docs, num_perm, bands, text_col, id_col)
-    cands = lsh_candidate_pairs(band_rows)
-    small = pa.concat_tables(list(
-        docs.map_batches(
-            lambda t: pa.table({"doc_id": t[id_col], "text": t[text_col]}),
-            batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=65536)))
-    docs_ref = ray.put(small)
-    return cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs=dict(docs_ref=docs_ref, threshold=threshold),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+    cands = lsh_candidate_pairs(band_rows, max_bucket=max_bucket,
+                                metrics=metrics)
+    return jaccard_verify_pairs(cands, docs, threshold, text_col=text_col,
+                                id_col=id_col,
+                                broadcast_threshold=broadcast_threshold)
+
+
+def jaccard_verify_pairs(cands: ray.data.Dataset, docs: ray.data.Dataset,
+                         threshold: float, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         broadcast_threshold: int = 2_000_000
+                         ) -> ray.data.Dataset:
+    """(id_a, id_b) candidates → rows with exact token-set Jaccard >=
+    threshold.  Routes the payload by corpus size: broadcast below
+    ``broadcast_threshold`` docs, two hash joins above (scale path)."""
+    n_docs = docs.count()
+    if n_docs <= broadcast_threshold:
+        small = pa.concat_tables(list(
+            docs.map_batches(
+                lambda t: pa.table({"doc_id": t[id_col], "text": t[text_col]}),
+                batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=65536)))
+        docs_ref = ray.put(small)
+        return cands.map_batches(
+            JaccardVerifier,
+            fn_constructor_kwargs=dict(docs_ref=docs_ref, threshold=threshold),
+            batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+
+    from dedupe_api_ray.utils import default_num_partitions
+    num_partitions = default_num_partitions(None)
+
+    def rename(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": t[id_col],
+                             f"{side}_text": t[text_col]})
+        return fn
+
+    docs_a = docs.map_batches(rename("a"), batch_format="pyarrow")
+    docs_b = docs.map_batches(rename("b"), batch_format="pyarrow")
+    joined = cands.join(docs_a, join_type="inner",
+                        num_partitions=num_partitions, on=("id_a",))
+    joined = joined.join(docs_b, join_type="inner",
+                         num_partitions=num_partitions, on=("id_b",))
+    return joined.map_batches(
+        JoinedJaccardVerifier,
+        fn_constructor_kwargs=dict(threshold=threshold),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
 
 
 # ---------------------------------------------------------------------------
@@ -216,20 +303,33 @@ def exact_dedup_keep_min(docs: ray.data.Dataset, text_col: str = "text",
                          id_col: str = "doc_id") -> ray.data.Dataset:
     """(id, text) → surviving min id per distinct text content.
     Hash first (vectorized) so the shuffle key is a fixed-width int64,
-    not the document body."""
+    not the document body.
+
+    Collision bound: the shuffle key is the LOW 63 bits (birthday
+    collisions expected from ~3e9 rows — real at the 1e12-doc target),
+    so a second 64-bit half (`text_hash_hi`) of the same 128-bit
+    blake2b digest disambiguates WITHIN each shuffle group: distinct
+    texts merge only if the full 128 bits collide (~2^64 ≈ 1.8e19 rows
+    birthday bound — safely past target scale)."""
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [int.from_bytes(
-            hashlib.blake2b((t or "").encode(), digest_size=8).digest(),
-            "big") & 0x7FFFFFFFFFFFFFFF
-            for t in batch[text_col].to_pylist()]
+        lo = np.empty(len(batch), dtype=np.int64)
+        hi = np.empty(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            d = hashlib.blake2b((t or "").encode(), digest_size=16).digest()
+            lo[i] = int.from_bytes(d[8:], "big") & 0x7FFFFFFFFFFFFFFF
+            hi[i] = int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
         return pa.table({id_col: batch[id_col],
-                         "text_hash": pa.array(hs, pa.int64())})
+                         "text_hash": pa.array(lo),
+                         "text_hash_hi": pa.array(hi)})
+
+    def group_min(g: pd.DataFrame) -> pd.DataFrame:
+        # one shuffle group = one low-63-bit value; min id per FULL hash
+        return (g.groupby("text_hash_hi", as_index=False)[id_col]
+                .min()[[id_col]])
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
-    kept = hashed.groupby("text_hash").min(id_col)
-    return kept.map_batches(
-        lambda t: t.rename_columns(["text_hash", id_col]).select([id_col]),
-        batch_format="pyarrow")
+    return hashed.groupby("text_hash").map_groups(
+        group_min, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

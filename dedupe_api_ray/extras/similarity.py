@@ -91,9 +91,23 @@ def brute_force_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
 def train_centroids(embeddings: ray.data.Dataset, n_centroids: int = 16,
                     sample_rows: int = 4096, iters: int = 10,
                     vec_col: str = "embedding", seed: int = 42) -> np.ndarray:
-    """k-means on a driver-side sample (Lloyd, fixed seed).  The
-    centroid matrix is tiny and gets broadcast."""
-    sample = embeddings.limit(sample_rows).to_pandas()
+    """k-means on a driver-side RANDOM sample (Lloyd, fixed seed).  The
+    centroid matrix is tiny and gets broadcast.
+
+    A `limit(sample_rows)` here would take the FIRST rows, which on
+    sorted/clustered input biases the centroids; `random_sample` keeps
+    the sample representative regardless of input layout."""
+    n = embeddings.count()
+    if n > sample_rows:
+        frac = min(1.0, (sample_rows * 1.3) / n)
+        sample = (embeddings.select_columns([vec_col])
+                  .random_sample(frac, seed=seed)
+                  .limit(sample_rows).to_pandas())
+        if len(sample) < min(n_centroids, n):  # unlucky tiny sample
+            sample = embeddings.select_columns([vec_col]) \
+                .limit(sample_rows).to_pandas()
+    else:
+        sample = embeddings.select_columns([vec_col]).to_pandas()
     x = _normalize_rows(np.stack(sample[vec_col].to_list()).astype(np.float64))
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -345,7 +345,7 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
     for f in field_defs:
         if f.type == "Interaction":
             continue
-        kind = f.type if f.type in ("Set", "Price") else (
+        kind = f.type if f.type in ("Set", "Price", "LatLong") else (
             "Text" if f.type == "Text" else "String")
         for name in predicates_for_kind(kind):
             if name == "existsPredicate":

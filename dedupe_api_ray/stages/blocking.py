@@ -189,18 +189,25 @@ def distinct_pairs(pairs: ray.data.Dataset, col_a: str = "id_a",
 
 def candidate_pairs(blocking_map: ray.data.Dataset,
                     max_block_size: int = 500,
-                    hard_cap: int = 20_000) -> ray.data.Dataset:
+                    hard_cap: int = 20_000,
+                    metrics: dict | None = None) -> ray.data.Dataset:
     """blocking_map (block_key, record_id) → distinct ordered pairs.
 
     1. per-key counts (small aggregate); keys with count > hard_cap
-       are DROPPED (stopword rule, logged in the returned dataset's
-       lineage via metrics upstream), keys with count > max_block_size
+       are DROPPED (stopword rule — drops are WARNING-logged and
+       reported through ``metrics`` so truncated recall is observable,
+       never silent), keys with count > max_block_size
        are salted into ceil(n/max_block_size) sub-blocks with full
        (i, j) cross-group enumeration;
     2. groupby(block_key[,salt]) emits ordered pairs per group;
     3. distinct over (id_a, id_b) — cross-block duplicate removal
        (the reference's SQL DISTINCT †).
+
+    ``metrics`` (optional dict) receives: dropped_keys, dropped_rows,
+    salted_keys.
     """
+    import logging
+
     import pyarrow.compute as pc
 
     # the blocking map is consumed twice (key counts, then salting):
@@ -215,6 +222,17 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     dropped = {k for k, c in hot_counts.items() if c > hard_cap}
     salt_k = {k: math.ceil(c / max_block_size)
               for k, c in hot_counts.items() if k not in dropped}
+    if metrics is not None:
+        metrics["dropped_keys"] = len(dropped)
+        metrics["dropped_rows"] = sum(hot_counts[k] for k in dropped)
+        metrics["salted_keys"] = len(salt_k)
+    if dropped:
+        logging.getLogger("dedupe_api_ray.blocking").warning(
+            "candidate_pairs: dropped %d block keys above hard_cap=%d "
+            "(%d member rows lose pair coverage); sample: %s",
+            len(dropped), hard_cap,
+            sum(hot_counts[k] for k in dropped),
+            sorted(dropped)[:5])
     salt_ref = ray.put((salt_k, dropped))
 
     def salt(batch: pa.Table) -> pa.Table:
