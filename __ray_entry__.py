@@ -228,12 +228,16 @@ def _q_events_tumbling(sf_dir: str):
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native partial groupby — no pandas copy per batch
         hour = pc.floor_temporal(t["ts"], unit="hour")
         tbl = pa.table({"user_id": t["user_id"], "hour": hour,
                         "value": t["value"]})
-        df = tbl.to_pandas().groupby(["user_id", "hour"], as_index=False) \
-            .agg(n=("value", "size"), sum_value=("value", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = tbl.group_by(["user_id", "hour"]).aggregate(
+            [("value", "count", pc.CountOptions(mode="all")),
+             ("value", "sum")])
+        return pa.table({"user_id": g["user_id"], "hour": g["hour"],
+                         "n": g["value_count"],
+                         "sum_value": g["value_sum"]})
 
     partials = ev.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
@@ -254,16 +258,19 @@ def _q_q1_lineitem(sf_dir: str):
                         "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native partial groupby — no pandas copy per batch
         disc_price = pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), t["l_discount"]))
         tbl = pa.table({"l_returnflag": t["l_returnflag"],
                         "l_linestatus": t["l_linestatus"],
                         "qty": t["l_quantity"], "rev": disc_price})
-        df = tbl.to_pandas().groupby(["l_returnflag", "l_linestatus"],
-                                     as_index=False) \
-            .agg(sum_qty=("qty", "sum"), sum_rev=("rev", "sum"),
-                 n=("qty", "size"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("rev", "sum"),
+             ("qty", "count", pc.CountOptions(mode="all"))])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "l_linestatus": g["l_linestatus"],
+                         "sum_qty": g["qty_sum"], "sum_rev": g["rev_sum"],
+                         "n": g["qty_count"]})
 
     from ray.data.aggregate import Sum
     agg = li.map_batches(partial, batch_format="pyarrow") \
@@ -293,10 +300,13 @@ def _q_orders_customer_join(sf_dir: str):
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("c_mktsegment", as_index=False) \
-            .agg(n_orders=("o_totalprice", "size"),
-                 total=("o_totalprice", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native partial groupby — no pandas copy per batch
+        g = t.group_by("c_mktsegment").aggregate(
+            [("o_totalprice", "count", pc.CountOptions(mode="all")),
+             ("o_totalprice", "sum")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "n_orders": g["o_totalprice_count"],
+                         "total": g["o_totalprice_sum"]})
 
     from ray.data.aggregate import Sum
     agg = joined.map_batches(partial, batch_format="pyarrow") \

@@ -139,26 +139,121 @@ def canopy_assign(vectors: list[tuple[int, list[str], list[float]]],
 
 def tfidf_canopy_keys(records: ray.data.Dataset, field: str,
                       threshold: float, id_col: str = "record_id",
-                      pred_tag: str = "canopy") -> ray.data.Dataset:
+                      pred_tag: str = "canopy", mode: str = "auto",
+                      driver_max_rows: int = 2_000_000,
+                      num_shards: int | None = None) -> ray.data.Dataset:
     """P20 as a blocking-map fragment: (block_key, record_id) where
-    block_key = '{pred_tag}:{canopy_center_id}'."""
+    block_key = '{pred_tag}:{canopy_center_id}'.
+
+    Modes:
+    - "driver" (reference semantics †): the full sequential sweep over
+      all vectors, collected driver-side — bounded by a LOUD guard at
+      ``driver_max_rows`` (the reference is equally single-memory).
+    - "sharded" (scale path): partition-local sweeps (rid % K shards,
+      ascending-rid order within each), then a driver sweep over the
+      LOCAL CENTERS ONLY, merging centers within ``threshold`` —
+      hierarchical canopy.  Deterministic, never collects the corpus;
+      an approximation of the sequential sweep (two records can land
+      in different merged canopies if their shard-local centers are
+      farther apart than ``threshold``).  Guarded the same way on the
+      center count; if even the centers exceed the bound the corpus
+      has no canopy structure and MinHash-LSH blocking
+      (extras.dedup.near_dup_pairs_minhash) is the right operator.
+    - "auto": driver when count <= driver_max_rows, else sharded.
+    """
+    n = records.count()
+    if mode == "auto":
+        mode = "driver" if n <= driver_max_rows else "sharded"
     idf = build_idf(records, field)
     idf_ref = ray.put(idf)
     vecs_ds = _tfidf_vectors(records, field, id_col, idf_ref)
-    vectors: list[tuple[int, list[str], list[float]]] = []
-    for batch in vecs_ds.iter_batches(batch_format="pyarrow",
-                                      batch_size=65536):
-        rids = batch["record_id"].to_pylist()
-        toks = batch["tokens"].to_pylist()
-        ws = batch["weights"].to_pylist()
-        vectors.extend(zip(rids, toks, ws))
-    assigned = canopy_assign(vectors, threshold)
-    rids = sorted(assigned)
-    return ray.data.from_arrow(pa.table({
-        "block_key": pa.array([f"{pred_tag}:{assigned[r]}" for r in rids],
-                              pa.string()),
-        "record_id": pa.array(rids, pa.int64()),
-    }))
+
+    if mode == "driver":
+        if n > driver_max_rows:
+            raise RuntimeError(
+                f"tfidf_canopy mode='driver' over {n} rows exceeds "
+                f"driver_max_rows={driver_max_rows}; use mode='sharded' "
+                "or MinHash-LSH blocking "
+                "(dedupe_api_ray.extras.dedup.near_dup_pairs_minhash)")
+        vectors: list[tuple[int, list[str], list[float]]] = []
+        for batch in vecs_ds.iter_batches(batch_format="pyarrow",
+                                          batch_size=65536):
+            vectors.extend(zip(batch["record_id"].to_pylist(),
+                               batch["tokens"].to_pylist(),
+                               batch["weights"].to_pylist()))
+        assigned = canopy_assign(vectors, threshold)
+        rids = sorted(assigned)
+        return ray.data.from_arrow(pa.table({
+            "block_key": pa.array([f"{pred_tag}:{assigned[r]}" for r in rids],
+                                  pa.string()),
+            "record_id": pa.array(rids, pa.int64()),
+        }))
+
+    # --- sharded: local sweeps → driver sweep over centers only ----------
+    from dedupe_api_ray.utils import shuffle_partitions
+    if num_shards is None:
+        num_shards = max(2, min(shuffle_partitions(), n // 250_000 + 2))
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        rid = t["record_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((rid % num_shards).astype(np.int64)))
+
+    def local_sweep(g, _threshold=threshold):
+        vectors = sorted(zip(g["record_id"].tolist(),
+                             (list(x) for x in g["tokens"].tolist()),
+                             (list(x) for x in g["weights"].tolist())))
+        assigned = canopy_assign(vectors, _threshold)
+        centers = {c for c in assigned.values()}
+        vec_of = {rid: (toks, ws) for rid, toks, ws in vectors}
+        rids = sorted(assigned)
+        return pa.table({
+            "record_id": pa.array(rids, pa.int64()),
+            "local_center": pa.array([assigned[r] for r in rids], pa.int64()),
+            "is_center": pa.array([r in centers for r in rids], pa.bool_()),
+            "tokens": pa.array(
+                [vec_of[r][0] if r in centers else [] for r in rids],
+                pa.list_(pa.string())),
+            "weights": pa.array(
+                [vec_of[r][1] if r in centers else [] for r in rids],
+                pa.list_(pa.float64())),
+        })
+
+    local = vecs_ds.map_batches(add_shard, batch_format="pyarrow") \
+        .groupby("shard", num_partitions=num_shards) \
+        .map_groups(local_sweep, batch_format="pandas").materialize()
+
+    import pyarrow.compute as pc
+    centers_ds = local.map_batches(
+        lambda t: t.filter(pc.equal(t["is_center"], True)),
+        batch_format="pyarrow")
+    n_centers = centers_ds.count()
+    if n_centers > driver_max_rows:
+        raise RuntimeError(
+            f"tfidf_canopy sharded merge: {n_centers} local centers exceed "
+            f"driver_max_rows={driver_max_rows} — the corpus has no canopy "
+            "structure at this threshold; use MinHash-LSH blocking "
+            "(dedupe_api_ray.extras.dedup.near_dup_pairs_minhash)")
+    center_vecs: list[tuple[int, list[str], list[float]]] = []
+    for batch in centers_ds.select_columns(["record_id", "tokens", "weights"]) \
+            .iter_batches(batch_format="pyarrow", batch_size=65536):
+        center_vecs.extend(zip(batch["record_id"].to_pylist(),
+                               batch["tokens"].to_pylist(),
+                               batch["weights"].to_pylist()))
+    center_map = canopy_assign(center_vecs, threshold)  # center → global
+    map_ref = ray.put(center_map)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cmap = ray.get(map_ref)
+        lc = t["local_center"].to_pylist()
+        return pa.table({
+            "block_key": pa.array(
+                [f"{pred_tag}:{cmap[c]}" for c in lc], pa.string()),
+            "record_id": t["record_id"],
+        })
+
+    return local.select_columns(["record_id", "local_center"]) \
+        .map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -98,26 +98,67 @@ def _collect_values(records: ray.data.Dataset, field: str, id_col: str
 
 def levenshtein_canopy_keys(records: ray.data.Dataset, field: str,
                             distance: int = 2, id_col: str = "record_id",
-                            pred_tag: str = "lev") -> ray.data.Dataset:
-    """P22 canopy: (block_key='{pred_tag}:{center_id}', record_id)."""
-    rows = _collect_values(records, field, id_col)
+                            pred_tag: str = "lev",
+                            driver_max_values: int = 2_000_000
+                            ) -> ray.data.Dataset:
+    """P22 canopy: (block_key='{pred_tag}:{center_id}', record_id).
+
+    Scale shape: the driver sweep runs over DISTINCT field values only
+    (a distributed groupby collapses duplicates first, keeping each
+    value's min record_id), which is EXACTLY equivalent to the
+    per-record sweep — a record's canopy depends only on its value and
+    the first-occurrence (min-rid) order of values, and every record of
+    an already-assigned value is already assigned in the record-level
+    sweep.  Driver memory is bounded by the value vocabulary, not the
+    corpus; a vocabulary above ``driver_max_values`` fails loudly
+    (MinHash-LSH blocking is the alternative for such fields).  The
+    final key emission is a distributed map over a broadcast
+    value→center dict."""
+    import ray as _ray
+
+    distinct = records.select_columns([id_col, field]) \
+        .groupby(field).min(id_col)
+    n_vals = distinct.count()
+    if n_vals > driver_max_values:
+        raise RuntimeError(
+            f"levenshtein_canopy: {n_vals} distinct '{field}' values "
+            f"exceed driver_max_values={driver_max_values}; this field "
+            "has no short-string canopy structure — use MinHash-LSH "
+            "blocking (dedupe_api_ray.extras.dedup) instead")
+    rows: list[tuple[int, str]] = []
+    for batch in distinct.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536):
+        vals = batch[field].to_pylist()
+        mrids = batch[f"min({id_col})"].to_pylist()
+        rows.extend((r, v) for r, v in zip(mrids, vals) if v)
+    rows.sort()  # pinned first-occurrence (min-rid) order
+
     tree = BKTree()
-    for rid, v in rows:
-        tree.add(v, rid)
-    assigned: dict[int, int] = {}
-    for rid, v in rows:
-        if rid in assigned:
+    for mrid, v in rows:
+        tree.add(v, v)
+    center_of: dict[str, int] = {}
+    for mrid, v in rows:
+        if v in center_of:
             continue
-        assigned[rid] = rid
-        for other in tree.search(v, distance):
-            if other not in assigned:
-                assigned[other] = rid
-    rids = sorted(assigned)
-    return ray.data.from_arrow(pa.table({
-        "block_key": pa.array([f"{pred_tag}:{assigned[r]}" for r in rids],
-                              pa.string()),
-        "record_id": pa.array(rids, pa.int64()),
-    }))
+        center_of[v] = mrid
+        for other_val in tree.search(v, distance):
+            if other_val not in center_of:
+                center_of[other_val] = mrid
+    map_ref = _ray.put(center_of)
+
+    def emit(t: pa.Table) -> pa.Table:
+        cmap = _ray.get(map_ref)
+        out_k: list[str] = []
+        out_r: list[int] = []
+        for rid, v in zip(t[id_col].to_pylist(), t[field].to_pylist()):
+            if v:
+                out_k.append(f"{pred_tag}:{cmap[v]}")
+                out_r.append(rid)
+        return pa.table({"block_key": pa.array(out_k, pa.string()),
+                         "record_id": pa.array(out_r, pa.int64())})
+
+    return records.select_columns([id_col, field]).map_batches(
+        emit, batch_format="pyarrow")
 
 
 def levenshtein_search_keys(queries: ray.data.Dataset,

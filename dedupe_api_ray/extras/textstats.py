@@ -68,7 +68,10 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         mean_len.append(round6(sum(map(len, toks)) / n) if n else 0.0)
         stop_ratio.append(round6(sum(1 for w in toks if w in en_stop) / n)
                           if n else 0.0)
-        n_alpha = sum(1 for c in (t or "") if c.isalpha())
+        # ASCII letters only, pinned to the oracle's '[^A-Za-z]' class
+        # (Python isalpha is Unicode and diverges on non-ASCII text)
+        n_alpha = sum(1 for c in (t or "")
+                      if "a" <= c <= "z" or "A" <= c <= "Z")
         alpha_ratio.append(round6(n_alpha / len(t)) if t else 0.0)
     return batch.append_column("n_tokens", pa.array(n_tok, pa.int64())) \
         .append_column("mean_token_len", pa.array(mean_len, pa.float64())) \

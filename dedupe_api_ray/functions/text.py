@@ -54,11 +54,17 @@ def normalize_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
 
 
 def normalize_str(s: str | None) -> str | None:
-    """Scalar preProcess (oracle / driver-side path)."""
+    """Scalar preProcess (oracle / driver-side path).
+
+    Implemented THROUGH the same Arrow kernels as ``normalize_array``
+    so scalar and vectorized paths are bit-identical by construction —
+    a Python ``re`` reimplementation diverges on Unicode whitespace
+    (RE2's ``\\s`` is ASCII-only, Python's is Unicode; U+00A0 is common
+    in web text), which would give train-time and score-time different
+    normalized strings for the same record."""
     if s is None:
         return None
-    s = _WS_RE.sub(" ", s.lower()).strip()
-    return s or None
+    return normalize_array(pa.array([s], pa.string()))[0].as_py()
 
 
 def tokens_of(s: str | None) -> list[str]:

@@ -93,8 +93,23 @@ def partition(records: ray.data.Dataset, model: Model,
         [p.pred_id for p in model.predicates],
         model.weights.tolist(), model.bias, threshold)
 
+    # Stage fingerprints CHAIN: each folds in its upstream stage's
+    # fingerprint plus its own params, and the root folds in an input-
+    # dataset identity (source files + row count — a content digest
+    # would cost a full read), so changing the input or an upstream
+    # knob invalidates every downstream checkpoint.
+    if ckpt_dir:
+        try:
+            in_files = sorted(records.input_files() or [])
+        except Exception:  # non-read datasets have no input files
+            in_files = []
+        input_fp = fingerprint_of(in_files, records.count())
+    else:
+        input_fp = ""
+    records_fp = fingerprint_of(model_fp, "records", input_fp)
+
     prepared = ckpt.run_stage(
-        "records", fingerprint_of(model_fp, "records"),
+        "records", records_fp,
         lambda: prepare_records(records, model.field_defs, id_col,
                                 tokenize=False))
 
@@ -161,13 +176,15 @@ def partition(records: ray.data.Dataset, model: Model,
             bm = bm.union(ck)
         return bm
 
-    blocking_map = ckpt.run_stage(
-        "blocking_map", fingerprint_of(model_fp, "blocking_map"),
-        build_blocking_map)
+    blocking_fp = fingerprint_of(records_fp, "blocking_map",
+                                 exact_collapse)
+    blocking_map = ckpt.run_stage("blocking_map", blocking_fp,
+                                  build_blocking_map)
     _mark('blocking_map stage defined')
 
+    pairs_fp = fingerprint_of(blocking_fp, "pairs", max_block_size, hard_cap)
     pairs = ckpt.run_stage(
-        "pairs", fingerprint_of(model_fp, "pairs", max_block_size, hard_cap),
+        "pairs", pairs_fp,
         lambda: candidate_pairs(blocking_map, max_block_size=max_block_size,
                                 hard_cap=hard_cap))
 
@@ -180,8 +197,8 @@ def partition(records: ray.data.Dataset, model: Model,
                            concurrency=scorer_concurrency,
                            sidecar_refs=sidecar)
 
-    scored = ckpt.run_stage(
-        "scores", fingerprint_of(model_fp, "scores"), do_score)
+    scores_fp = fingerprint_of(pairs_fp, "scores")
+    scored = ckpt.run_stage("scores", scores_fp, do_score)
     _mark('scores stage defined')
 
     clustered = cluster_scored_pairs(scored, threshold=threshold,
@@ -246,7 +263,8 @@ def partition(records: ray.data.Dataset, model: Model,
 
     if ckpt_dir:
         entity_map = ckpt.run_stage(
-            "entity_map", fingerprint_of(model_fp, "entity_map"),
+            "entity_map",
+            fingerprint_of(scores_fp, "entity_map", cc_mode),
             lambda: entity_map)
     return entity_map
 

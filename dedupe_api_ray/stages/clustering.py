@@ -229,7 +229,10 @@ def centroid_linkage_np(d2: np.ndarray) -> list[tuple[int, int, float, int]]:
     """Numpy Lance-Williams centroid linkage over a full squared-
     distance matrix.  Returns merge rows (left_node, right_node,
     height=sqrt(d2), size); new nodes numbered n, n+1, …  Ties break to
-    the first (row-major) minimum — deterministic."""
+    the lexicographically smallest (node_id_lo, node_id_hi) among the
+    minimal distances — the SAME canonical key as oracle
+    .centroid_linkage, so engine and oracle dendrograms are identical
+    even on all-tied unscored blocks (d2 = 1.0)."""
     n = d2.shape[0]
     work = d2.astype(np.float64).copy()
     np.fill_diagonal(work, np.inf)
@@ -239,16 +242,21 @@ def centroid_linkage_np(d2: np.ndarray) -> list[tuple[int, int, float, int]]:
     # inactive rows/cols are kept at +inf IN PLACE (no per-step masked
     # copy — that turned the loop into allocation-bound O(n^3) with a
     # large constant); the Lance-Williams update propagates inf
-    # naturally, so a single flat argmin per step suffices.
+    # naturally, so a min + tie-scan per step suffices.
     for step in range(n - 1):
-        flat = int(np.argmin(work))
-        i, j = divmod(flat, n)
-        if i > j:
-            i, j = j, i
-        d2ij = work[i, j]
+        d2ij = work.min()
+        cand = np.argwhere(work == d2ij)
+        ci, cj = cand[:, 0], cand[:, 1]
+        upper = ci < cj
+        ci, cj = ci[upper], cj[upper]
+        na, nb = node_ids[ci], node_ids[cj]
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        k = int(np.lexsort((hi, lo))[0])
+        i, j = int(ci[k]), int(cj[k])
         ni, nj = sizes[i], sizes[j]
         h = float(np.sqrt(max(d2ij, 0.0)))
-        merges.append((int(node_ids[i]), int(node_ids[j]), h, int(ni + nj)))
+        merges.append((int(lo[k]), int(hi[k]), h, int(ni + nj)))
         new_row = ((ni * work[i, :] + nj * work[j, :]) / (ni + nj)
                    - ni * nj * d2ij / (ni + nj) ** 2)
         work[i, :] = new_row

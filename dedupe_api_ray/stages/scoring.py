@@ -142,16 +142,58 @@ def _hash_tokens_batch(lists: list[list[str]], idf: dict | None,
     return out_h, out_w, out_n
 
 
-def build_tf_sidecar(records: ray.data.Dataset, model: Model):
+def _assemble_shard(g) -> pa.Table:
+    """One rid-hash shard of per-record TF stats → ONE row of flat
+    binary blobs (sorted rid, offsets, token hashes, weights, norms).
+    Runs INSIDE a Ray map_groups task — the driver never touches the
+    data, only ObjectRefs to the resulting block tables."""
+    rid = g["record_id"].to_numpy().astype(np.int64)
+    order = np.argsort(rid, kind="stable")
+    hlists = g["hashes"].to_numpy()
+    wlists = g["weights"].to_numpy()
+    lens = np.fromiter((len(hlists[k]) for k in order),
+                       dtype=np.int64, count=len(order))
+    offsets = np.zeros(len(order) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat_h = np.empty(int(offsets[-1]), dtype=np.uint64)
+    flat_w = np.empty(int(offsets[-1]), dtype=np.float64)
+    for j, k in enumerate(order):
+        flat_h[offsets[j]:offsets[j + 1]] = np.asarray(
+            hlists[k], dtype=np.int64).astype(np.uint64)
+        flat_w[offsets[j]:offsets[j + 1]] = np.asarray(wlists[k])
+    norms = g["norm"].to_numpy().astype(np.float64)[order]
+    return pa.table({
+        "shard": pa.array([int(g["shard"].iloc[0])], pa.int64()),
+        "rid": pa.array([rid[order].tobytes()], pa.large_binary()),
+        "offsets": pa.array([offsets.tobytes()], pa.large_binary()),
+        "hashes": pa.array([flat_h.tobytes()], pa.large_binary()),
+        "weights": pa.array([flat_w.tobytes()], pa.large_binary()),
+        "norms": pa.array([norms.tobytes()], pa.large_binary()),
+    })
+
+
+def build_tf_sidecar(records: ray.data.Dataset, model: Model,
+                     num_shards: int | None = None):
     """For each Text field: compute (sorted token hashes, idf-weighted
-    counts, norm) per record in a distributed pass, assemble flat
-    numpy arrays driver-side, ``ray.put`` once.  Returns
-    {field: ObjectRef} or None if the model has no Text fields."""
+    counts, norm) per record in a distributed pass, then assemble flat
+    numpy arrays per rid-hash SHARD inside map_groups tasks.  The
+    driver only ever holds ObjectRefs to the shard block tables —
+    no whole-corpus driver-side assembly, no single giant object.
+    Scorer actors ray.get the shard tables (zero-copy plasma reads —
+    np.frombuffer views over shared buffers, no per-actor rebuild).
+    Returns {field: {"k": K, "refs": [ObjectRef[pa.Table]]}} or None
+    if the model has no Text fields."""
     from dedupe_api_ray.functions.text import tokens_of
+    from dedupe_api_ray.utils import shuffle_partitions
 
     text_fields = [f.field for f in model.field_defs if f.type == "Text"]
     if not text_fields:
         return None
+    n_records = records.count()
+    if num_shards is None:
+        # ~250k records per shard, at least one per shuffle partition
+        num_shards = max(1, min(shuffle_partitions(),
+                                n_records // 250_000 + 1))
     refs = {}
     for field in text_fields:
         idf = model.idf.get(field)
@@ -167,38 +209,20 @@ def build_tf_sidecar(records: ray.data.Dataset, model: Model):
                 lists = [tokens_of(v) if v else []
                          for v in t[_field].to_pylist()]
             hs, ws, ns = _hash_tokens_batch(lists, _idf, memo)
+            rid = t["record_id"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "record_id": t["record_id"],
+                "shard": pa.array((rid % num_shards).astype(np.int64)),
                 "hashes": pa.array(hs, pa.list_(pa.int64())),
                 "weights": pa.array(ws, pa.list_(pa.float64())),
                 "norm": pa.array(ns, pa.float64()),
             })
 
-        rows = {"record_id": [], "hashes": [], "weights": [], "norm": []}
-        for b in records.map_batches(stats_batch, batch_format="pyarrow")                 .iter_batches(batch_format="pyarrow", batch_size=65536):
-            rows["record_id"].extend(b["record_id"].to_pylist())
-            rows["hashes"].extend(b["hashes"].to_pylist())
-            rows["weights"].extend(b["weights"].to_pylist())
-            rows["norm"].extend(b["norm"].to_pylist())
-        rid = np.asarray(rows["record_id"], dtype=np.int64)
-        order = np.argsort(rid, kind="stable")
-        lens = np.fromiter((len(rows["hashes"][k]) for k in order),
-                           dtype=np.int64, count=len(order))
-        offsets = np.zeros(len(order) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        flat_h = np.empty(int(offsets[-1]), dtype=np.uint64)
-        flat_w = np.empty(int(offsets[-1]), dtype=np.float64)
-        for j, k in enumerate(order):
-            flat_h[offsets[j]:offsets[j + 1]] = np.asarray(
-                rows["hashes"][k], dtype=np.int64).astype(np.uint64)
-            flat_w[offsets[j]:offsets[j + 1]] = rows["weights"][k]
-        refs[field] = ray.put({
-            "rid": rid[order],
-            "offsets": offsets,
-            "hashes": flat_h,
-            "weights": flat_w,
-            "norms": np.asarray(rows["norm"], dtype=np.float64)[order],
-        })
+        shards = records.map_batches(stats_batch, batch_format="pyarrow") \
+            .groupby("shard", num_partitions=num_shards) \
+            .map_groups(_assemble_shard, batch_format="pandas")
+        refs[field] = {"k": num_shards,
+                       "refs": shards.materialize().to_arrow_refs()}
     return refs
 
 
@@ -222,38 +246,62 @@ class PairScorer:
         self.text_fields = [f.field for f in self.model.field_defs
                             if f.type == "Text"]
         self._tf_cache: dict[tuple[str, int], tuple] = {}
-        # sidecar: shared per-record cosine state (zero rebuild per actor)
+        # sidecar: shared per-record cosine state, rid-hash-sharded.
+        # ray.get of the shard block tables is a zero-copy plasma read;
+        # np.frombuffer views the shared buffers — no per-actor rebuild.
         self.sidecar = {}
         if sidecar_refs:
-            for field, ref in sidecar_refs.items():
-                self.sidecar[field] = ray.get(ref)
+            for field, meta in sidecar_refs.items():
+                shards: dict[int, tuple] = {}
+                for tbl in ray.get(list(meta["refs"])):
+                    for i in range(len(tbl)):
+                        shards[int(tbl["shard"][i].as_py())] = (
+                            np.frombuffer(tbl["rid"][i].as_buffer(),
+                                          dtype=np.int64),
+                            np.frombuffer(tbl["offsets"][i].as_buffer(),
+                                          dtype=np.int64),
+                            np.frombuffer(tbl["hashes"][i].as_buffer(),
+                                          dtype=np.uint64),
+                            np.frombuffer(tbl["weights"][i].as_buffer(),
+                                          dtype=np.float64),
+                            np.frombuffer(tbl["norms"][i].as_buffer(),
+                                          dtype=np.float64),
+                        )
+                self.sidecar[field] = {"k": meta["k"], "shards": shards}
 
     def _cosine_sidecar(self, field: str, batch: pa.Table) -> np.ndarray:
         sc = self.sidecar[field]
-        rid, offs = sc["rid"], sc["offsets"]
-        fh, fw, norms = sc["hashes"], sc["weights"], sc["norms"]
+        k, shards = sc["k"], sc["shards"]
         ids_a = batch["id_a"].to_numpy(zero_copy_only=False)
         ids_b = batch["id_b"].to_numpy(zero_copy_only=False)
-        pa_pos = np.searchsorted(rid, ids_a)
-        pb_pos = np.searchsorted(rid, ids_b)
         n = len(ids_a)
         out = np.full(n, np.nan, dtype=np.float64)
         for i in range(n):
-            ja, jb = pa_pos[i], pb_pos[i]
-            a0, a1 = offs[ja], offs[ja + 1]
-            b0, b1 = offs[jb], offs[jb + 1]
+            sa = shards.get(int(ids_a[i]) % k)
+            sb = shards.get(int(ids_b[i]) % k)
+            if sa is None or sb is None:
+                continue
+            rid_a, offs_a, fh_a, fw_a, norms_a = sa
+            rid_b, offs_b, fh_b, fw_b, norms_b = sb
+            ja = int(np.searchsorted(rid_a, ids_a[i]))
+            jb = int(np.searchsorted(rid_b, ids_b[i]))
+            if ja >= len(rid_a) or rid_a[ja] != ids_a[i] \
+                    or jb >= len(rid_b) or rid_b[jb] != ids_b[i]:
+                continue  # record absent from stats -> NaN
+            a0, a1 = offs_a[ja], offs_a[ja + 1]
+            b0, b1 = offs_b[jb], offs_b[jb + 1]
             if a1 == a0 or b1 == b0:
                 continue  # missing side -> NaN
-            ha = fh[a0:a1]
-            hb = fh[b0:b1]
+            ha = fh_a[a0:a1]
+            hb = fh_b[b0:b1]
             pos = np.searchsorted(ha, hb)
             pos_c = np.minimum(pos, len(ha) - 1)
             valid = ha[pos_c] == hb
             if not valid.any():
                 out[i] = 0.0
                 continue
-            num = float((fw[a0:a1][pos_c[valid]] * fw[b0:b1][valid]).sum())
-            v = num / (norms[ja] * norms[jb])
+            num = float((fw_a[a0:a1][pos_c[valid]] * fw_b[b0:b1][valid]).sum())
+            v = num / (norms_a[ja] * norms_b[jb])
             out[i] = 1.0 if v > 1.0 else v
         return out
 

@@ -110,6 +110,134 @@ def test_latlong_grid_predicate_registry(ray_session):
     assert by_key["0:100|100"] == {3}
 
 
+def test_sharded_canopy_at_10x_no_driver_collection(ray_session, tiny_corpus):
+    """mode='sharded' canopy over a 10x corpus: every record gets
+    exactly one canopy key, identical texts always share a canopy
+    (local centers with cosine 1.0 merge in the center sweep), and the
+    member→center similarity invariant holds within each shard."""
+    from dedupe_api_ray.blocking.canopy import tfidf_canopy_keys
+    from dedupe_api_ray.fixtures import record_id_of_url
+
+    cols = tiny_corpus["pages"].to_pydict()
+    base_ids = [record_id_of_url(u) for u in cols["url"]]
+    n = len(base_ids)
+    rids, texts = [], []
+    for rep in range(10):
+        for i in range(n):
+            rids.append(rep * 10_000_000 + base_ids[i])
+            texts.append(cols["text"][i])
+    tbl = pa.table({"record_id": pa.array(rids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(tbl).materialize()
+    out = tfidf_canopy_keys(ds, "text", threshold=0.5, pred_tag="c",
+                            mode="sharded", num_shards=4).to_pandas()
+    assert len(out) == len(rids)
+    assert out["record_id"].is_unique
+    # identical text ⇒ same canopy key
+    text_of = dict(zip(rids, texts))
+    key_of = dict(zip(out["record_id"], out["block_key"]))
+    by_text = {}
+    for rid in rids:
+        by_text.setdefault(text_of[rid], set()).add(key_of[rid])
+    assert all(len(ks) == 1 for ks in by_text.values())
+
+
+def test_levenshtein_canopy_distinct_value_equivalence(ray_session):
+    """The distinct-value sweep must equal the record-level sweep
+    (duplicated values, interleaved rids)."""
+    from dedupe_api_ray.blocking.levenshtein import (BKTree,
+                                                     levenshtein_canopy_keys)
+
+    vals = ["abc", "abd", "xyz", "abc", "xyy", "abd", "qqq", "xyz"]
+    rids = [5, 2, 3, 9, 1, 7, 4, 6]
+    tbl = pa.table({"record_id": pa.array(rids, pa.int64()),
+                    "name": pa.array(vals, pa.string())})
+    got_df = levenshtein_canopy_keys(
+        ray.data.from_arrow(tbl), "name", distance=1).to_pandas()
+    got = {r: k for r, k in zip(got_df["record_id"], got_df["block_key"])}
+
+    # reference record-level sweep (round-1 algorithm)
+    rows = sorted(zip(rids, vals))
+    tree = BKTree()
+    for rid, v in rows:
+        tree.add(v, rid)
+    assigned = {}
+    for rid, v in rows:
+        if rid in assigned:
+            continue
+        assigned[rid] = rid
+        for other in tree.search(v, 1):
+            if other not in assigned:
+                assigned[other] = rid
+    want = {r: f"lev:{c}" for r, c in assigned.items()}
+    assert got == want
+
+
+def test_checkpoint_fingerprints_chain(ray_session, tiny_corpus, tmp_path):
+    """Changing an upstream knob (max_block_size) must invalidate the
+    downstream 'scores' checkpoint — round-1 reused it silently."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from dedupe_api_ray.fixtures import record_id_of_url
+    from dedupe_api_ray.model import FieldDef, train_model
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    cols = tiny_corpus["pages"].to_pydict()
+    records = {record_id_of_url(u): {"text": t, "url_host": u.split("/")[2]}
+               for u, t in zip(cols["url"], cols["text"])}
+    lp = tiny_corpus["labeled_pairs"].to_pydict()
+    labeled = list(zip(lp["id_a"], lp["id_b"], lp["label"]))
+    model = train_model(records, labeled,
+                        [FieldDef("text", "Text"),
+                         FieldDef("url_host", "ShortString")],
+                        max_predicates=3)
+    tbl = pa.table({
+        "record_id": pa.array(sorted(records), pa.int64()),
+        "text": pa.array([records[r]["text"] for r in sorted(records)]),
+        "url_host": pa.array([records[r]["url_host"]
+                              for r in sorted(records)]),
+    })
+    ck = str(tmp_path / "ck")
+
+    def scores_fp(max_block_size):
+        partition(ray.data.from_arrow(tbl), model, threshold=0.5,
+                  ckpt_dir=ck, max_block_size=max_block_size,
+                  scorer_concurrency=(1, 2)).to_pandas()
+        man = json.load(open(os.path.join(ck, "scores", "_MANIFEST.json")))
+        return man["fingerprint"]
+
+    fp1 = scores_fp(500)
+    fp2 = scores_fp(300)  # upstream knob changed → scores must rerun
+    assert fp1 != fp2
+
+
+def test_centroid_linkage_dendrogram_identity():
+    """Engine (numpy) and oracle (pure-Python) centroid linkage must
+    produce IDENTICAL merge sequences, including on all-tied unscored
+    blocks (d2 = 1.0 everywhere) — the canonical tie-break."""
+    from dedupe_api_ray.oracle import centroid_linkage
+    from dedupe_api_ray.stages.clustering import centroid_linkage_np
+
+    rng = np.random.RandomState(3)
+    for trial in range(6):
+        n = 8
+        mat = np.ones((n, n), dtype=np.float64)
+        np.fill_diagonal(mat, 0.0)
+        d2 = {}
+        n_edges = [0, 3, 8][trial % 3]  # incl. the all-tied case
+        for _ in range(n_edges):
+            i, j = sorted(rng.choice(n, 2, replace=False))
+            v = float(np.round(rng.uniform(0.0, 0.9), 3))
+            mat[i, j] = mat[j, i] = v
+            d2[(int(i), int(j))] = v
+        got = centroid_linkage_np(mat)
+        want = centroid_linkage(n, d2)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_train_centroids_random_sample_on_sorted_input(ray_session):
     """Sorted/clustered input: a limit()-based sample would only see
     cluster A; the random sample must land centroids in BOTH clusters."""
