@@ -383,9 +383,12 @@ def _q_near_dup_pairs(sf_dir: str):
 
 
 def _q_simhash(sf_dir: str):
-    from dedupe_api_ray.extras.dedup import simhash_table
+    """SimHash via the md5 (SQL-reproducible) family so the oracle can
+    verify it bit-for-bit; the blake2b family (extras.dedup.SimHasher)
+    is the scale path and is unit-tested."""
+    from dedupe_api_ray.extras.dedup import simhash_md5_table
 
-    return simhash_table(_docs(sf_dir))
+    return simhash_md5_table(_docs(sf_dir))
 
 
 def _q_embedding_topk(sf_dir: str):
@@ -607,6 +610,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     per = _NUM_PERM // _BANDS
+    # Karp-Rabin window powers (base^15..base^0 mod 2^64) for the
+    # doc_fingerprint oracle — HUGEINT arithmetic emulates the engine's
+    # uint64 wraparound exactly (extras.textstats.fingerprint_batch)
+    _fp_pows = "[" + ", ".join(
+        f"{pow(1000003, 15 - j, 1 << 64)}::HUGEINT" for j in range(16)) + "]"
     minhash_cte = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok FROM documents
@@ -748,6 +756,51 @@ WITH toks AS (
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 10
             ) WHERE rn <= 5""",
+        "doc_fingerprint": f"""
+            WITH chars AS (
+              SELECT doc_id, unnest(range(len(text))) AS i, text
+              FROM documents
+            ), cp AS (
+              SELECT doc_id, i,
+                     unicode(substr(text, cast(i + 1 AS INT), 1))::HUGEINT AS c
+              FROM chars
+            ), win AS (
+              SELECT a.doc_id,
+                     (sum(b.c * {_fp_pows}[cast(b.i - a.i + 1 AS INT)]))
+                       % 18446744073709551616::HUGEINT AS h
+              FROM cp a JOIN cp b
+                ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i <= a.i + 15
+              GROUP BY a.doc_id, a.i
+              HAVING count(*) = 16
+            ), sh AS (
+              SELECT doc_id,
+                     cast(min(h) % 9223372036854775808::HUGEINT AS BIGINT)
+                       AS fingerprint
+              FROM win GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(sh.fingerprint, 0) AS fingerprint
+            FROM documents d LEFT JOIN sh USING (doc_id)""",
+        "simhash_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     cast(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+              FROM toks
+            ), votes AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN (SELECT unnest(range(63)) AS i)
+              GROUP BY doc_id, i
+            ), sh AS (
+              SELECT doc_id,
+                     cast(sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                              ELSE 0::UBIGINT END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+            FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id""",
         "cc_components": """
             WITH RECURSIVE e0 AS (
               SELECT a.doc_id AS u, b.doc_id AS v
@@ -787,7 +840,8 @@ WITH toks AS (
                                    ORDER BY jaccard DESC, canon_id) AS rn
               FROM sims WHERE jaccard >= 0.3
             ) WHERE rn <= 2""",
-        # lang_id, doc_fingerprint, simhash_docs, embedding_near_dup_lsh,
-        # flagship_dedupe: intentionally no SQL oracle (heuristic model /
-        # hash internals / approximate recall / full engine) → rows-only.
+        # lang_id, embedding_near_dup_lsh, tfidf_canopy,
+        # levenshtein_canopy, greedy_matching, flagship_dedupe:
+        # intentionally no SQL oracle (heuristic model / approximate
+        # recall / order-dependent sweep / full engine) → rows-only.
     }

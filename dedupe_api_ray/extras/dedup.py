@@ -294,6 +294,35 @@ def simhash_table(docs: ray.data.Dataset, text_col: str = "text",
                             concurrency=concurrency, num_cpus=1)
 
 
+_SIMHASH_BITS = np.arange(63, dtype=np.uint64)
+
+
+def simhash63_md5(text: str | None) -> int:
+    """63-bit SimHash over md5 token hashes (bits 0..62) — the
+    SQL-reproducible family (DuckDB: md5 hex → UBIGINT → bit shifts),
+    mirrored verbatim in __ray_entry__.oracle_sql()['simhash_docs'].
+    The fast blake2b family (SimHasher) stays the scale path."""
+    toks = sorted(set(TOKEN_RE.findall((text or "").lower())))
+    if not toks:
+        return 0
+    hv = np.array([int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+                   for t in toks], dtype=np.uint64)
+    bits = ((hv[:, None] >> _SIMHASH_BITS[None, :]) & np.uint64(1)) \
+        .astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    return int(((np.uint64(1) << _SIMHASH_BITS)[votes > 0])
+               .sum(dtype=np.uint64))
+
+
+def simhash_md5_table(docs: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [simhash63_md5(t) for t in batch[text_col].to_pylist()]
+        return pa.table({"doc_id": batch[id_col],
+                         "simhash": pa.array(vals, pa.int64())})
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-partition + per-group min id — SURVEY.md M5/G7)
 # ---------------------------------------------------------------------------

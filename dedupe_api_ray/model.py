@@ -451,6 +451,150 @@ def train_model(records: dict[int, dict], labeled_pairs: list[tuple[int, int, bo
                  weights=weights, bias=bias, idf=idf)
 
 
+class ActiveLearner:
+    """A4 †: active-learning analog of dedupe's DisagreementLearner /
+    ``uncertain_pairs`` (dedupe:dedupe/labeler.py, api.py::prepare_
+    training) — uncertainty sampling over a blocked + random candidate
+    pool, so few manual labels reach the accuracy of a fully-labeled
+    training set.  Driver-side on sampled records, like the reference.
+
+    Protocol::
+
+        al = ActiveLearner(records, field_defs)
+        while al.has_candidates() and budget:
+            pair = al.uncertain_pair()      # most informative next pair
+            al.mark(pair, user_says_match)  # label it
+        model = al.model()                  # LR + learned blocking
+
+    Pair selection: the classifier is bootstrapped from SYNTHETIC
+    seeds the way the reference's RLRLearner is † — self-pairs
+    (record, record) as guaranteed positives and random cross pairs as
+    presumed negatives — so uncertainty sampling (probability closest
+    to 0.5) works from the very first query; real labels progressively
+    dominate the synthetic seeds."""
+
+    def __init__(self, records: dict[int, dict], field_defs: list[FieldDef],
+                 alpha: float = 0.1, pool_cap: int = 5000, seed: int = 42,
+                 corpus_idf: bool = True):
+        self.field_defs = list(field_defs)
+        self.alpha = alpha
+        self.records = {rid: _normalize_record(r, field_defs)
+                        for rid, r in records.items()}
+        idf: dict[str, dict[str, float]] = {}
+        if corpus_idf:
+            for f in field_defs:
+                if f.type == "Text":
+                    idf[f.field] = compute_idf(
+                        [self.records[r].get(f"{f.field}__tokens", [])
+                         for r in self.records])
+        self.idf = idf
+        self.dm = DataModel(field_defs, idf)
+        rng = np.random.RandomState(seed)
+        rids = sorted(self.records)
+        # blocked candidates: pairs sharing a first-token key on any
+        # non-interaction field (cheap, high-recall seed blocking †)
+        pool: set[tuple[int, int]] = set()
+        for f in field_defs:
+            if f.type == "Interaction":
+                continue
+            spec = PredicateSpec("simple", f.field, "firstTokenPredicate")
+            by_key: dict[str, list[int]] = {}
+            for rid in rids:
+                try:
+                    ks = _record_keys(spec, self.records[rid])
+                except Exception:
+                    continue
+                for k in ks:
+                    by_key.setdefault(k, []).append(rid)
+            for members in by_key.values():
+                if len(members) < 2:
+                    continue
+                for i in range(len(members)):
+                    for j in range(i + 1, min(i + 26, len(members))):
+                        pool.add((members[i], members[j]))
+                        if len(pool) >= pool_cap:
+                            break
+        # plus random pairs (negative-class coverage †)
+        n_rand = min(pool_cap // 2, 10 * len(rids))
+        for _ in range(n_rand):
+            a, b = rng.choice(len(rids), 2, replace=False)
+            pool.add((rids[min(a, b)], rids[max(a, b)]))
+        self.pool = sorted(pool)
+        self._x = self._features(self.pool)
+        # synthetic bootstrap (reference RLRLearner seeding †):
+        # (r, r) self-pairs are perfect matches; random pairs are
+        # almost surely distinct — enough signal for a first fit.
+        seed_rids = [rids[i] for i in
+                     rng.choice(len(rids), min(8, len(rids)), replace=False)]
+        self._seed_pairs = [(r, r) for r in seed_rids]
+        self._seed_y = [True] * len(seed_rids)
+        for _ in range(min(8, max(1, len(rids) - 1))):
+            a, b = rng.choice(len(rids), 2, replace=False)
+            self._seed_pairs.append((rids[min(a, b)], rids[max(a, b)]))
+            self._seed_y.append(False)
+        self.labeled: list[tuple[int, int, bool]] = []
+        self._weights: np.ndarray | None = None
+        self._bias = 0.0
+        self._refit()
+
+    def _features(self, pairs: list[tuple[int, int]]) -> np.ndarray:
+        names = {f.field for f in self.field_defs if f.type != "Interaction"}
+        ca: dict[str, list] = {}
+        cb: dict[str, list] = {}
+        for fname in names:
+            ca[fname] = [self.records[a].get(fname) for a, _ in pairs]
+            cb[fname] = [self.records[b].get(fname) for _, b in pairs]
+            tk = f"{fname}__tokens"
+            if any(tk in self.records[a] for a, _ in pairs):
+                ca[tk] = [self.records[a].get(tk, []) for a, _ in pairs]
+                cb[tk] = [self.records[b].get(tk, []) for _, b in pairs]
+        return self.dm.distances(ca, cb) if pairs else \
+            np.zeros((0, self.dm.n_features))
+
+    def has_candidates(self) -> bool:
+        return len(self.pool) > 0
+
+    def _refit(self) -> None:
+        # synthetic seeds keep both classes present until real labels
+        # cover them; real labels then dominate (they are the tail of
+        # the design matrix and outnumber the fixed seeds over time)
+        pairs = self._seed_pairs + [(a, b) for a, b, _ in self.labeled]
+        y = np.array([float(v) for v in self._seed_y] +
+                     [float(lbl) for _, _, lbl in self.labeled])
+        x = self._features(pairs)
+        self._weights, self._bias = fit_logistic_regression(
+            x, y, alpha=self.alpha)
+
+    def uncertain_pair(self) -> tuple[int, int]:
+        """The next pair to label (does not remove it — ``mark`` does)."""
+        if not self.pool:
+            raise IndexError("candidate pool exhausted")
+        p = 1.0 / (1.0 + np.exp(-(self._x @ self._weights + self._bias)))
+        return self.pool[int(np.argmin(np.abs(p - 0.5)))]
+
+    def mark(self, pair: tuple[int, int], label: bool) -> None:
+        self.labeled.append((pair[0], pair[1], bool(label)))
+        try:
+            idx = self.pool.index(pair)
+            self.pool.pop(idx)
+            self._x = np.delete(self._x, idx, axis=0)
+        except ValueError:
+            pass
+        self._refit()
+
+    def model(self, max_predicates: int = 4) -> Model:
+        """Freeze: LR weights from the labels gathered so far + learned
+        blocking over the labeled matches (same path as train_model)."""
+        matches = [(a, b) for a, b, lbl in self.labeled if lbl]
+        if not matches:
+            raise ValueError("need at least one labeled match to learn "
+                             "blocking predicates")
+        predicates = learn_predicates(self.records, matches, self.field_defs,
+                                      max_predicates=max_predicates)
+        return Model(field_defs=self.field_defs, predicates=predicates,
+                     weights=self._weights, bias=self._bias, idf=self.idf)
+
+
 def sample_records(ds, n: int, seed: int = 42) -> dict[int, dict]:
     """O2 †: random record sample for training
     (dedupe:dedupe/api.py::prepare_training / core.randomPairs).

@@ -55,6 +55,33 @@ def test_model_roundtrip(tmp_path, tabular_fixture):
     assert [s.pred_id for s in m2.predicates] == [s.pred_id for s in model.predicates]
 
 
+def test_active_learner_label_efficiency(tabular_fixture):
+    """A4: uncertainty sampling reaches the fully-labeled model's
+    clustering quality with a third of the labels."""
+    from dedupe_api_ray.model import ActiveLearner
+
+    records = _records_dict(tabular_fixture["records"])
+    gold_cols = tabular_fixture["gold_clusters"].to_pydict()
+    gold = dict(zip(gold_cols["record_id"], gold_cols["cluster_id"]))
+    lp = tabular_fixture["labeled_pairs"].to_pydict()
+    n_full = len(lp["id_a"])
+    budget = max(10, n_full // 3)
+
+    al = ActiveLearner(records, TABULAR_FIELDS, seed=42)
+    assert al.has_candidates()
+    for _ in range(budget):
+        if not al.has_candidates():
+            break
+        pair = al.uncertain_pair()
+        al.mark(pair, gold[pair[0]] == gold[pair[1]])
+    model = al.model()
+    assert len(al.labeled) < n_full, "must use fewer labels than full set"
+
+    assign = oracle_partition(records, model, threshold=0.5)
+    f1 = pairwise_f1({r: c for r, (c, _) in assign.items()}, gold)
+    assert f1 >= 0.9, f"active-learned model F1 too low: {f1}"
+
+
 def test_lr_learns_separable():
     from dedupe_api_ray.model import fit_logistic_regression
 
