@@ -126,10 +126,11 @@ def sorted_acronym(field: str, tokens: list[str] | None = None) -> Strings:  # P
 
 
 # --- phonetic (P14) ---------------------------------------------------------
-# The reference uses the doublemetaphone C extension †; this sandbox has
-# none, so we implement the original Lawrence Philips Metaphone
-# (public-domain algorithm) — a documented divergence: same *shape*
-# (phonetic canopy keys), different code values than double metaphone.
+# The reference keys on the doublemetaphone C extension †; blocking
+# uses the from-scratch Double Metaphone in blocking.phonetic (both
+# primary and secondary codes emitted, like dedupe's predicates).  The
+# original single Metaphone below is retained as a cheaper registry
+# alternative.
 
 _VOWELS = set("aeiou")
 
@@ -227,14 +228,30 @@ def _metaphone(word: str) -> str:
     return "".join(out)
 
 
-def metaphone_field(field: str) -> Strings:  # P14 (whole field)
-    code = _metaphone(field.replace(" ", ""))
-    return (code,) if code else ()
+def metaphone_field(field: str) -> Strings:  # P14 (whole field, both codes)
+    from dedupe_api_ray.blocking.phonetic import double_metaphone
+
+    p, q = double_metaphone(field.replace(" ", ""))
+    return {c for c in (p, q) if c}
 
 
 def metaphone_token(field: str, tokens: list[str] | None = None) -> Strings:  # P14
+    from dedupe_api_ray.blocking.phonetic import double_metaphone
+
     toks = tokens if tokens is not None else tokens_of(field)
-    return {c for c in (_metaphone(t) for t in toks) if c}
+    out: set[str] = set()
+    for t in toks:
+        p, q = double_metaphone(t)
+        if p:
+            out.add(p)
+        if q:
+            out.add(q)
+    return out
+
+
+def single_metaphone_field(field: str) -> Strings:  # cheaper alternative
+    code = _metaphone(field.replace(" ", ""))
+    return (code,) if code else ()
 
 
 # --- set predicates (P15) — operate on list/set values ----------------------
@@ -335,6 +352,7 @@ SIMPLE_PREDICATES: dict[str, tuple[Callable, bool, tuple[str, ...]]] = {
     "sortedAcronym": (sorted_acronym, True, ("String", "ShortString")),
     "doubleMetaphone": (metaphone_field, False, ("String", "ShortString")),
     "metaphoneToken": (metaphone_token, True, ("String", "ShortString")),
+    "singleMetaphone": (single_metaphone_field, False, ("String", "ShortString")),
     "wholeSetPredicate": (whole_set, False, ("Set",)),
     "commonSetElementPredicate": (common_set_element, False, ("Set",)),
     "lastSetElementPredicate": (last_set_element, False, ("Set",)),

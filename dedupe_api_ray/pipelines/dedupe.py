@@ -183,10 +183,12 @@ def partition(records: ray.data.Dataset, model: Model,
     _mark('blocking_map stage defined')
 
     pairs_fp = fingerprint_of(blocking_fp, "pairs", max_block_size, hard_cap)
+    pair_metrics: dict = {}
     pairs = ckpt.run_stage(
         "pairs", pairs_fp,
         lambda: candidate_pairs(blocking_map, max_block_size=max_block_size,
-                                hard_cap=hard_cap))
+                                hard_cap=hard_cap, metrics=pair_metrics),
+        metrics=pair_metrics)
 
     def do_score():
         from dedupe_api_ray.stages.scoring import build_tf_sidecar

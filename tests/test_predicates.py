@@ -39,6 +39,23 @@ def test_numeric_predicates():
     assert set(P.round_to_1(0.062)) == {"0.06"} or set(P.round_to_1(0.062))
 
 
+def test_double_metaphone_known_codes():
+    from dedupe_api_ray.blocking.phonetic import double_metaphone as dm
+
+    assert dm("smith") == ("SM0", "XMT")
+    assert dm("schmidt") == ("XMT", "SMT")
+    assert dm("katherine") == ("K0RN", "KTRN")
+    assert dm("thomas") == ("TMS", "")
+    assert dm("aubrey") == ("APR", "")
+    assert dm("richard") == ("RXRT", "RKRT")
+    assert dm("jose") == ("HS", "")
+    assert dm("") == ("", "")
+    # predicates emit BOTH codes (dedupe's doubleMetaphone predicate †)
+    assert P.metaphone_field("smith") == {"SM0", "XMT"}
+    assert P.metaphone_token("john smith") == \
+        {c for c in dm("john") + dm("smith") if c}
+
+
 def test_metaphone_groups_near_spellings():
     assert P._metaphone("smith") == P._metaphone("smith")
     # classic phonetic pair
