@@ -334,31 +334,21 @@ def exact_dedup_keep_min(docs: ray.data.Dataset, text_col: str = "text",
     Hash first (vectorized) so the shuffle key is a fixed-width int64,
     not the document body.
 
-    Collision bound: the shuffle key is the LOW 63 bits (birthday
-    collisions expected from ~3e9 rows — real at the 1e12-doc target),
-    so a second 64-bit half (`text_hash_hi`) of the same 128-bit
-    blake2b digest disambiguates WITHIN each shuffle group: distinct
-    texts merge only if the full 128 bits collide (~2^64 ≈ 1.8e19 rows
-    birthday bound — safely past target scale)."""
+    Collision bound: the key is the FULL 128-bit blake2b digest as a
+    32-char hex string (birthday bound ~1.8e19 rows — safely past the
+    1e12-doc target, where a 64-bit key collides from ~5e9 rows); the
+    hex key keeps the group-min on Ray's native single-key aggregate."""
     def add_hash(batch: pa.Table) -> pa.Table:
-        lo = np.empty(len(batch), dtype=np.int64)
-        hi = np.empty(len(batch), dtype=np.int64)
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            d = hashlib.blake2b((t or "").encode(), digest_size=16).digest()
-            lo[i] = int.from_bytes(d[8:], "big") & 0x7FFFFFFFFFFFFFFF
-            hi[i] = int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
+        hs = [hashlib.blake2b((t or "").encode(), digest_size=16).hexdigest()
+              for t in batch[text_col].to_pylist()]
         return pa.table({id_col: batch[id_col],
-                         "text_hash": pa.array(lo),
-                         "text_hash_hi": pa.array(hi)})
-
-    def group_min(g: pd.DataFrame) -> pd.DataFrame:
-        # one shuffle group = one low-63-bit value; min id per FULL hash
-        return (g.groupby("text_hash_hi", as_index=False)[id_col]
-                .min()[[id_col]])
+                         "text_hash": pa.array(hs, pa.string())})
 
     hashed = docs.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("text_hash").map_groups(
-        group_min, batch_format="pandas")
+    kept = hashed.groupby("text_hash").min(id_col)
+    return kept.map_batches(
+        lambda t: t.rename_columns(["text_hash", id_col]).select([id_col]),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -34,27 +34,21 @@ def add_row_hash(ds: ray.data.Dataset, fields: list[str],
                  out_col: str = "row_hash") -> ray.data.Dataset:
     """M5 †: content hash over the declared fields (post-normalize).
 
-    128-bit digest split into two int64 columns: `row_hash` (low 63
-    bits — the shuffle/join key) and `row_hash_hi`.  63 bits alone
-    birthday-collides from ~3e9 rows (real at the 1e12-doc target);
-    groups/joins therefore additionally compare `row_hash_hi`, so
-    distinct records merge only on a full-128-bit collision (~1.8e19
-    row birthday bound)."""
+    The key is the FULL 128-bit blake2b digest as a 32-char hex string
+    (birthday bound ~1.8e19 rows — safely past the 1e12-doc target,
+    where a 64-bit key would collide from ~5e9 rows).  A string key
+    keeps the collapse on Ray-native groupby/join kernels; the 32-byte
+    shuffle payload is the price of collision safety."""
     def fn(batch: pa.Table) -> pa.Table:
         cols = [batch[f].to_pylist() for f in fields]
-        n = len(batch)
-        lo = np.empty(n, dtype=np.int64)
-        hi = np.empty(n, dtype=np.int64)
-        for i, vals in enumerate(zip(*cols)):
+        hashes = []
+        for vals in zip(*cols):
             h = hashlib.blake2b(digest_size=16)
             for v in vals:
                 h.update(repr(v).encode())
                 h.update(b"\x1f")
-            d = h.digest()
-            lo[i] = int.from_bytes(d[8:], "big") & 0x7FFFFFFFFFFFFFFF
-            hi[i] = int.from_bytes(d[:8], "big") & 0x7FFFFFFFFFFFFFFF
-        return batch.append_column(out_col, pa.array(lo)) \
-            .append_column(f"{out_col}_hi", pa.array(hi))
+            hashes.append(h.hexdigest())
+        return batch.append_column(out_col, pa.array(hashes, pa.string()))
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
@@ -129,26 +123,14 @@ def partition(records: ray.data.Dataset, model: Model,
         hashed = add_row_hash(prepared, fields)
         hashed = hashed.materialize()
         _mark("hashed materialized")
-        # representative = min record_id per FULL 128-bit hash: shuffle
-        # on the low-63-bit key, disambiguate on the high half inside
-        # the group (see add_row_hash collision bound).
-        def _rep_per_hash(g, _id=id_col):
-            out = g.groupby("row_hash_hi", as_index=False).agg(
-                rep_id=(_id, "min"))
-            out["row_hash"] = g["row_hash"].iloc[0]
-            out = out.rename(columns={"row_hash_hi": "rep_hi"})
-            return out[["row_hash", "rep_hi", "rep_id"]]
-
-        reps = hashed.select_columns(["row_hash", "row_hash_hi", id_col]) \
-            .groupby("row_hash").map_groups(_rep_per_hash,
-                                            batch_format="pandas")
+        # representative = min record_id per full-128-bit hash (native
+        # single-key aggregate — see add_row_hash collision bound)
+        reps = hashed.groupby("row_hash").min(id_col)
+        reps = reps.map_batches(
+            lambda t: t.rename_columns(["row_hash", "rep_id"]),
+            batch_format="pyarrow")
         joined = hashed.join(reps, join_type="inner",
                              num_partitions=num_partitions, on=("row_hash",))
-        # a low-bits collision joins a record to >1 rep row; keep the
-        # rep whose high half matches (always exactly one)
-        joined = joined.map_batches(
-            lambda t: t.filter(pc.equal(t["row_hash_hi"], t["rep_hi"]))
-            .drop_columns(["rep_hi"]), batch_format="pyarrow")
         joined = joined.materialize()
         _mark("collapse join materialized")
         dupes_map = joined.map_batches(
@@ -156,8 +138,7 @@ def partition(records: ray.data.Dataset, model: Model,
             .select([id_col, "rep_id"]), batch_format="pyarrow")
         fuzzy_input = joined.map_batches(
             lambda t: t.filter(pc.equal(t[id_col], t["rep_id"]))
-            .drop_columns(["row_hash", "row_hash_hi", "rep_id"]),
-            batch_format="pyarrow")
+            .drop_columns(["row_hash", "rep_id"]), batch_format="pyarrow")
 
     fuzzy_input = add_tokens(fuzzy_input, model.field_defs)
     fuzzy_input = fuzzy_input.materialize()

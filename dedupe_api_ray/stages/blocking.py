@@ -134,8 +134,14 @@ def _emit_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
     emitted (within-sub pairs come from the (i,i) group), keeping the
     enumeration lossless."""
     key = g["block_key"].iloc[0]
-    sub = g["sub"].to_numpy()
     ids = g["record_id"].to_numpy()
+    if "sub" not in g.columns:  # fast path: nothing was salted
+        members = np.unique(ids)
+        if len(members) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
+        ia, ib = np.triu_indices(len(members), k=1)
+        return pd.DataFrame({"id_a": members[ia], "id_b": members[ib]})
+    sub = g["sub"].to_numpy()
     if "#" in key:
         i_s, j_s = key.rsplit("#", 1)[1].split(".")
         i, j = int(i_s), int(j_s)
@@ -210,15 +216,27 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
 
     import pyarrow.compute as pc
 
+    from ray.data.aggregate import Sum
+
     # the blocking map is consumed twice (key counts, then salting):
     # pin it so the upstream fingerprint stage doesn't execute twice
     blocking_map = blocking_map.materialize()
-    counts = blocking_map.groupby("block_key").count()
+
+    # per-key counts with a per-batch PARTIAL aggregate first: the
+    # count shuffle then moves (key, cnt) partials, not every
+    # (key, record_id) row — the combiner-before-shuffle rule
+    def local_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("block_key").aggregate([("record_id", "count")])
+        return pa.table({"block_key": g["block_key"],
+                         "cnt": g["record_id_count"]})
+
+    counts = blocking_map.map_batches(local_counts, batch_format="pyarrow") \
+        .groupby("block_key").aggregate(Sum("cnt", alias_name="cnt"))
     hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], max_block_size)),
+        lambda t: t.filter(pc.greater(t["cnt"], max_block_size)),
         batch_format="pyarrow").to_pandas()
     hot_counts: dict[str, int] = ({} if hot.empty else
-                                  dict(zip(hot["block_key"], hot["count()"])))
+                                  dict(zip(hot["block_key"], hot["cnt"])))
     dropped = {k for k, c in hot_counts.items() if c > hard_cap}
     salt_k = {k: math.ceil(c / max_block_size)
               for k, c in hot_counts.items() if k not in dropped}
@@ -263,7 +281,12 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
 
     from dedupe_api_ray.utils import shuffle_partitions
 
-    salted = blocking_map.map_batches(salt, batch_format="pyarrow")
+    if not hot_counts:
+        # no hot keys: skip the salting pass entirely (one fewer full
+        # scan; _emit_pairs_group takes its no-sub fast path)
+        salted = blocking_map
+    else:
+        salted = blocking_map.map_batches(salt, batch_format="pyarrow")
     pairs = salted.groupby("block_key",
                            num_partitions=shuffle_partitions()).map_groups(
         _emit_pairs_group, batch_format="pandas")

@@ -191,9 +191,10 @@ def build_tf_sidecar(records: ray.data.Dataset, model: Model,
         return None
     n_records = records.count()
     if num_shards is None:
-        # ~250k records per shard, at least one per shuffle partition
+        # ~50k records per shard so assembly parallelizes, capped at
+        # the shuffle partition count
         num_shards = max(1, min(shuffle_partitions(),
-                                n_records // 250_000 + 1))
+                                n_records // 50_000 + 1))
     refs = {}
     for field in text_fields:
         idf = model.idf.get(field)
@@ -269,40 +270,78 @@ class PairScorer:
                         )
                 self.sidecar[field] = {"k": meta["k"], "shards": shards}
 
+    @staticmethod
+    def _expand(offs, lens, ja, valid):
+        """Flat gather indices for the valid pairs' token segments."""
+        L = lens[valid]
+        starts = offs[ja[valid]]
+        tot = int(L.sum())
+        if tot == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        base = np.concatenate([[0], np.cumsum(L)[:-1]])
+        gather = np.repeat(starts - base, L) + np.arange(tot)
+        pair_local = np.repeat(np.arange(len(L)), L)
+        return gather, pair_local
+
+    def _cosine_group(self, out, seg, ga, gb, sa, sb) -> None:
+        """Vectorized cosine for one (shard_a, shard_b) pair group:
+        segment gather + single lexsort merge-intersect across all
+        pairs — no per-pair Python work."""
+        rid_a, offs_a, fh_a, fw_a, norms_a = sa
+        rid_b, offs_b, fh_b, fw_b, norms_b = sb
+        ja = np.searchsorted(rid_a, ga)
+        jb = np.searchsorted(rid_b, gb)
+        ok_a = (ja < len(rid_a)) & (rid_a[np.minimum(ja, len(rid_a) - 1)] == ga)
+        ok_b = (jb < len(rid_b)) & (rid_b[np.minimum(jb, len(rid_b) - 1)] == gb)
+        ja = np.minimum(ja, len(rid_a) - 1)
+        jb = np.minimum(jb, len(rid_b) - 1)
+        lens_a = offs_a[ja + 1] - offs_a[ja]
+        lens_b = offs_b[jb + 1] - offs_b[jb]
+        valid = ok_a & ok_b & (lens_a > 0) & (lens_b > 0)
+        if not valid.any():
+            return
+        idx = seg[valid]
+        gather_a, pe_a = self._expand(offs_a, lens_a, ja, valid)
+        gather_b, pe_b = self._expand(offs_b, lens_b, jb, valid)
+        pair_all = np.concatenate([pe_a, pe_b])
+        hash_all = np.concatenate([fh_a[gather_a], fh_b[gather_b]])
+        w_all = np.concatenate([fw_a[gather_a], fw_b[gather_b]])
+        order = np.lexsort((hash_all, pair_all))
+        ps = pair_all[order]
+        hs = hash_all[order]
+        ws = w_all[order]
+        eq = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        num = np.zeros(len(idx), dtype=np.float64)
+        np.add.at(num, ps[1:][eq], ws[1:][eq] * ws[:-1][eq])
+        v = num / (norms_a[ja[valid]] * norms_b[jb[valid]])
+        np.minimum(v, 1.0, out=v)
+        out[idx] = v
+
     def _cosine_sidecar(self, field: str, batch: pa.Table) -> np.ndarray:
         sc = self.sidecar[field]
         k, shards = sc["k"], sc["shards"]
-        ids_a = batch["id_a"].to_numpy(zero_copy_only=False)
-        ids_b = batch["id_b"].to_numpy(zero_copy_only=False)
+        ids_a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids_a)
         out = np.full(n, np.nan, dtype=np.float64)
-        for i in range(n):
-            sa = shards.get(int(ids_a[i]) % k)
-            sb = shards.get(int(ids_b[i]) % k)
+        if n == 0:
+            return out
+        sh_a = ids_a % k
+        sh_b = ids_b % k
+        if k == 1:  # common small-corpus case: one group, no split
+            sa = shards.get(0)
+            if sa is not None:
+                self._cosine_group(out, np.arange(n), ids_a, ids_b, sa, sa)
+            return out
+        combo = sh_a * k + sh_b
+        order = np.argsort(combo, kind="stable")
+        bounds = np.nonzero(np.diff(combo[order]))[0] + 1
+        for seg in np.split(order, bounds):
+            sa = shards.get(int(sh_a[seg[0]]))
+            sb = shards.get(int(sh_b[seg[0]]))
             if sa is None or sb is None:
                 continue
-            rid_a, offs_a, fh_a, fw_a, norms_a = sa
-            rid_b, offs_b, fh_b, fw_b, norms_b = sb
-            ja = int(np.searchsorted(rid_a, ids_a[i]))
-            jb = int(np.searchsorted(rid_b, ids_b[i]))
-            if ja >= len(rid_a) or rid_a[ja] != ids_a[i] \
-                    or jb >= len(rid_b) or rid_b[jb] != ids_b[i]:
-                continue  # record absent from stats -> NaN
-            a0, a1 = offs_a[ja], offs_a[ja + 1]
-            b0, b1 = offs_b[jb], offs_b[jb + 1]
-            if a1 == a0 or b1 == b0:
-                continue  # missing side -> NaN
-            ha = fh_a[a0:a1]
-            hb = fh_b[b0:b1]
-            pos = np.searchsorted(ha, hb)
-            pos_c = np.minimum(pos, len(ha) - 1)
-            valid = ha[pos_c] == hb
-            if not valid.any():
-                out[i] = 0.0
-                continue
-            num = float((fw_a[a0:a1][pos_c[valid]] * fw_b[b0:b1][valid]).sum())
-            v = num / (norms_a[ja] * norms_b[jb])
-            out[i] = 1.0 if v > 1.0 else v
+            self._cosine_group(out, seg, ids_a[seg], ids_b[seg], sa, sb)
         return out
 
     def _cosine_col(self, field: str, batch: pa.Table,
