@@ -423,7 +423,8 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     from dedupe_api_ray.extras.dedup import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_read(sf_dir, "embeddings"),
-                                    threshold=0.35, num_buckets=4)
+                                    threshold=0.35, num_buckets=4,
+                                    multiprobe=1)
 
 
 def _q_lang_id(sf_dir: str):

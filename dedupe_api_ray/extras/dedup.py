@@ -360,32 +360,65 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
                              threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             num_buckets: int = 8,
+                             num_buckets: int | None = 8,
+                             multiprobe: int = 0,
                              seed: int = 42) -> ray.data.Dataset:
     """Near-dup pairs by cosine >= threshold.  Scale shape: random-
     hyperplane LSH buckets (sign bits of r.v projections) co-locate
     likely-similar vectors, then exact cosine within each bucket.
-    Probing all 1-bit-flip neighbor buckets would raise recall; here we
-    use the plain multi-probe-0 variant and document the recall
-    tradeoff."""
+
+    Scale knobs (VERDICT r1: fixed 8 planes made per-bucket all-pairs
+    grow O(n^2/256)):
+    - ``num_buckets`` (= hyperplane count) ``None`` auto-scales with
+      the corpus: planes = ceil(log2(n / 256)) so the average bucket
+      stays ~256 vectors regardless of n.
+    - ``multiprobe=1`` additionally emits every vector into all
+      1-bit-flip neighbor buckets — any pair within Hamming distance 1
+      of each other's sign codes then co-occurs, recovering most
+      boundary-straddling pairs at a (planes+1)x row-replication cost.
+      Duplicated pair emissions are removed by a bucketed distinct.
+    """
+    n = embeddings.count()
+    if num_buckets is None:
+        num_buckets = max(4, int(np.ceil(np.log2(max(2, n / 256)))))
+    if num_buckets == 0:
+        # exact single-bucket variant (oracle-checkable path)
+        num_planes = 0
+    else:
+        num_planes = num_buckets
     first = embeddings.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(num_buckets, dim)).astype(np.float64)
+    planes = rng.normal(size=(num_planes, dim)).astype(np.float64) \
+        if num_planes else np.zeros((0, dim))
     planes_ref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
-        signs = (vecs @ pl.T) > 0
-        bucket = signs @ (1 << np.arange(signs.shape[1]))
-        return pa.table({"vec_id": batch[id_col],
-                         "bucket": pa.array(bucket.astype(np.int64)),
-                         vec_col: batch[vec_col]})
+        if len(pl):
+            signs = (vecs @ pl.T) > 0
+            bucket = (signs @ (1 << np.arange(signs.shape[1]))).astype(np.int64)
+        else:
+            bucket = np.zeros(len(vecs), dtype=np.int64)
+        ids = batch[id_col]
+        emb = batch[vec_col]
+        if multiprobe <= 0 or not len(pl):
+            return pa.table({"vec_id": ids, "bucket": pa.array(bucket),
+                             vec_col: emb})
+        # 1-bit multi-probe: home bucket + every 1-flip neighbor
+        reps = len(pl) + 1
+        take = pa.array(np.repeat(np.arange(len(bucket)), reps))
+        flips = np.concatenate([[0], 1 << np.arange(len(pl))]).astype(np.int64)
+        probe = (bucket[:, None] ^ flips[None, :]).reshape(-1)
+        return pa.table({"vec_id": ids.take(take),
+                         "bucket": pa.array(probe),
+                         vec_col: emb.take(take)})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy()
-        vecs = np.stack(g[vec_col].to_list()).astype(np.float64)
+        sub = g.drop_duplicates("vec_id")
+        ids = sub["vec_id"].to_numpy()
+        vecs = np.stack(sub[vec_col].to_list()).astype(np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vn = vecs / norms
@@ -398,5 +431,23 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
                              "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
 
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(bucket_pairs,
-                                                 batch_format="pandas")
+    pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,
+                                                  batch_format="pandas")
+    if multiprobe <= 0 or not num_planes:
+        return pairs
+
+    # multi-probe duplicates pair emissions across neighbor buckets:
+    # bucketed distinct over (id_a, id_b), keeping the cosine column
+    def bucket_tag(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(64)
+        return t.append_column("__bucket", pa.array(h.astype(np.int64)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "cosine"]]
+
+    from dedupe_api_ray.utils import shuffle_partitions
+    return pairs.map_batches(bucket_tag, batch_format="pyarrow") \
+        .groupby("__bucket", num_partitions=min(64, shuffle_partitions())) \
+        .map_groups(dedup, batch_format="pandas")

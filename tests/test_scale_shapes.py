@@ -214,6 +214,37 @@ def test_checkpoint_fingerprints_chain(ray_session, tiny_corpus, tmp_path):
     assert fp1 != fp2
 
 
+def test_embedding_lsh_multiprobe_recall(ray_session):
+    """1-bit multi-probe must recover boundary-straddling near-dup
+    pairs that plain sign-bucket LSH misses (and never lose found
+    ones).  Exact all-pairs (num_buckets=0) is the recall denominator."""
+    from dedupe_api_ray.extras.dedup import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(150, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup = base + rng.normal(scale=0.02, size=base.shape)  # cosine ~0.999
+    vecs = np.vstack([base, dup])
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(),
+                                          pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).materialize()
+
+    def pairs_of(**kw):
+        df = embedding_near_dup_pairs(ds, threshold=0.99, **kw).to_pandas()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    exact = pairs_of(num_buckets=0)
+    assert len(exact) >= 140  # every (i, i+150) pair and few others
+    plain = pairs_of(num_buckets=10, multiprobe=0)
+    probed = pairs_of(num_buckets=10, multiprobe=1)
+    assert plain <= exact and probed <= exact  # LSH never invents pairs
+    r_plain = len(plain) / len(exact)
+    r_probe = len(probed) / len(exact)
+    assert r_probe >= r_plain
+    assert r_probe >= 0.9, f"multi-probe recall {r_probe}"
+
+
 def test_centroid_linkage_dendrogram_identity():
     """Engine (numpy) and oracle (pure-Python) centroid linkage must
     produce IDENTICAL merge sequences, including on all-tied unscored
