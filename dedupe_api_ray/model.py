@@ -37,6 +37,26 @@ FIELD_KINDS = (
     "Price", "LatLong", "Exists", "Interaction", "Custom",
 )
 
+# User-registered variable types (SURVEY.md §2.11): name → pairwise
+# kernel fn(a, b) -> float (NaN = missing).  A registered type behaves
+# like Custom but is declared once and reused by name; predicates are
+# attached via blocking.predicates.register_predicate(name, fn,
+# kinds=("<TypeName>",)).
+VARIABLE_REGISTRY: dict[str, object] = {}
+
+
+def register_variable(name: str, kernel, predicates: dict | None = None
+                      ) -> None:
+    """§2.11 extension surface — mirror of dedupe's plugin variable
+    packages †: add a field TYPE (usable as FieldDef(type=name)) whose
+    pairwise feature is ``kernel(a, b) -> float``; ``predicates`` maps
+    predicate name → fn registered for this kind."""
+    VARIABLE_REGISTRY[name] = kernel
+    if predicates:
+        from dedupe_api_ray.blocking.predicates import register_predicate
+        for pname, fn in predicates.items():
+            register_predicate(pname, fn, kinds=(name,))
+
 
 @dataclass
 class FieldDef:
@@ -51,7 +71,7 @@ class FieldDef:
     name: str | None = None
 
     def __post_init__(self) -> None:
-        if self.type not in FIELD_KINDS:
+        if self.type not in FIELD_KINDS and self.type not in VARIABLE_REGISTRY:
             raise ValueError(f"unknown field type {self.type!r}")
         if self.name is None:
             self.name = f"{self.field}:{self.type}"
@@ -205,8 +225,9 @@ class DataModel:
                 m |= miss
                 nan_mask[f.name] = m
                 col += k
-            elif f.type == "Custom":
-                cmp_fn = f.comparator
+            elif f.type == "Custom" or f.type in VARIABLE_REGISTRY:
+                cmp_fn = (f.comparator if f.type == "Custom"
+                          else VARIABLE_REGISTRY[f.type])
                 d = np.array([cmp_fn(va, vb) if va is not None and vb is not None
                               else np.nan for va, vb in zip(a, b)], dtype=np.float64)
                 x[:, col] = d
@@ -345,7 +366,8 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
     for f in field_defs:
         if f.type == "Interaction":
             continue
-        kind = f.type if f.type in ("Set", "Price", "LatLong") else (
+        kind = f.type if (f.type in ("Set", "Price", "LatLong")
+                          or f.type in VARIABLE_REGISTRY) else (
             "Text" if f.type == "Text" else "String")
         for name in predicates_for_kind(kind):
             if name == "existsPredicate":

@@ -60,6 +60,32 @@ def test_greedy_matching(ray_session):
     assert got == {(1, 2), (10, 11)}
 
 
+def test_register_variable_extension():
+    """§2.11: a user-registered variable type works end-to-end —
+    FieldDef(type=name), feature kernel in distances(), predicates
+    learnable for that kind."""
+    from dedupe_api_ray.blocking.predicates import predicates_for_kind
+    from dedupe_api_ray.model import (VARIABLE_REGISTRY, DataModel, FieldDef,
+                                      register_variable)
+
+    def year_gap(a, b):
+        return 1.0 / (1.0 + abs(int(a) - int(b)))
+
+    def decade_key(v):
+        return (str(int(v) // 10),)
+
+    register_variable("Year", year_gap, predicates={"decadeOf": decade_key})
+    try:
+        fd = FieldDef("founded", "Year")
+        dm = DataModel([fd])
+        x = dm.distances({"founded": [1999, 2000]},
+                         {"founded": [2001, 2000]})
+        assert x[0, 0] == 1.0 / 3.0 and x[1, 0] == 1.0
+        assert "decadeOf" in predicates_for_kind("Year")
+    finally:
+        VARIABLE_REGISTRY.pop("Year", None)
+
+
 def test_classifier_swap():
     class Stub:
         def predict_proba(self, x):
