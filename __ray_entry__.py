@@ -611,6 +611,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     per = _NUM_PERM // _BANDS
+    # lang_id oracle: the trigram+stopword vote is a deterministic pure
+    # function — the SQL scores with the SAME pinned profiles
+    from dedupe_api_ray.extras.textstats import _LANG_TRIGRAMS, _STOPWORDS
+    _lang_rows = []
+    for lang in sorted(_LANG_TRIGRAMS):
+        tris = ", ".join(f"'{t}'" for t in sorted(_LANG_TRIGRAMS[lang]))
+        stops = ", ".join(f"'{s}'" for s in sorted(_STOPWORDS[lang]))
+        _lang_rows.append(f"('{lang}', [{tris}], [{stops}])")
+    _langs_sql = ",\n    ".join(_lang_rows)
     # Karp-Rabin window powers (base^15..base^0 mod 2^64) for the
     # doc_fingerprint oracle — HUGEINT arithmetic emulates the engine's
     # uint64 wraparound exactly (extras.textstats.fingerprint_batch)
@@ -757,6 +766,34 @@ WITH toks AS (
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 10
             ) WHERE rn <= 5""",
+        "lang_id": f"""
+            WITH langs AS (SELECT * FROM (VALUES
+                {_langs_sql}) l(lang, tris, stops)),
+            feat AS (
+              SELECT doc_id,
+                     list_distinct([substr(lower(text), i + 1, 3)
+                                    FOR i IN range(greatest(len(text) - 2, 0))]) AS doc_tris,
+                     (regexp_extract_all(lower(text), '{_TOK_PATTERN_SQL_ESC}'))[1:50] AS toks50
+              FROM documents
+            ),
+            scored AS (
+              SELECT f.doc_id, l.lang,
+                     len(list_intersect(f.doc_tris, l.tris))
+                     + 2 * len(list_filter(f.toks50,
+                                           x -> list_contains(l.stops, x))) AS s
+              FROM feat f CROSS JOIN langs l
+            ),
+            best AS (
+              SELECT doc_id, lang, s,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, lang) AS rn
+              FROM scored
+            )
+            SELECT d.doc_id,
+                   CASE WHEN b.s IS NULL OR b.s = 0 THEN 'und'
+                        ELSE b.lang END AS lang_pred
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""",
         "doc_fingerprint": f"""
             WITH chars AS (
               SELECT doc_id, unnest(range(len(text))) AS i, text
@@ -841,8 +878,10 @@ WITH toks AS (
                                    ORDER BY jaccard DESC, canon_id) AS rn
               FROM sims WHERE jaccard >= 0.3
             ) WHERE rn <= 2""",
-        # lang_id, embedding_near_dup_lsh, tfidf_canopy,
-        # levenshtein_canopy, greedy_matching, flagship_dedupe:
-        # intentionally no SQL oracle (heuristic model / approximate
-        # recall / order-dependent sweep / full engine) → rows-only.
+        # embedding_near_dup_lsh, tfidf_canopy, levenshtein_canopy,
+        # greedy_matching, flagship_dedupe: intentionally no SQL oracle
+        # (approximate recall / order-dependent sequential sweeps /
+        # full engine) → rows-only.  Their semantics are covered by
+        # tests/ (LSH-subset-of-exact + recall bars, canopy parity vs
+        # the O(n^2) oracle, greedy + flagship golden-parity F1).
     }
