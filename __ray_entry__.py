@@ -517,9 +517,10 @@ def _q_recordlink_pairs(sf_dir: str):
 
 
 def _q_tfidf_canopy(sf_dir: str):
-    """P20 canopy assignment over documents.text (rows-only: canopy is
-    insertion-order-dependent and not SQL-expressible; key-for-key
-    parity vs the naive O(n^2) oracle is covered in tests/)."""
+    """P20 canopy assignment over documents.text.  Oracle: the pinned
+    ascending-rid sequential sweep as a recursive CTE (next center =
+    min unassigned rid; captures = unassigned docs with TF-IDF cosine
+    >= threshold)."""
     from dedupe_api_ray.blocking.canopy import tfidf_canopy_keys
 
     docs = _docs(sf_dir).map_batches(
@@ -600,7 +601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazetteer_topk": _q_gazetteer_topk,
         # similarity search
         "embedding_topk": _q_embedding_topk,
-        # canopy / levenshtein / greedy (order-dependent → rows-only)
+        # canopy / levenshtein / greedy (sequential sweeps — oracled
+        # via recursive CTEs that replay the pinned sweep order)
         "tfidf_canopy": _q_tfidf_canopy,
         "levenshtein_canopy": _q_levenshtein_canopy,
         "greedy_matching": _q_greedy_matching,
@@ -637,6 +639,170 @@ WITH toks AS (
          md5(string_agg(h, '|' ORDER BY i)) AS band_key
   FROM mh GROUP BY doc_id, i // {per}
 )"""
+    # greedy_matching oracle: the sequential sorted sweep == iterated
+    # locally-dominant rounds (a pair accepted by the global greedy iff
+    # it is rank-1 in the order (score DESC, id_a, id_b) for BOTH its
+    # endpoints among still-unmatched pairs) — the classic parallel
+    # greedy-matching equivalence, expressed as a recursive CTE.
+    # Scores compare on the ROUNDED jaccard (6 dp), matching the
+    # engine's input column exactly (near_dup_pairs is hash-green).
+    greedy_sql = minhash_cte.replace("\nWITH toks", "\nWITH RECURSIVE toks") \
+        + f""", cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+), toksets AS (
+  SELECT doc_id, list_distinct({_TOK_SQL}) AS ts FROM documents
+), ndp AS (
+  SELECT id_a, id_b,
+    round(len(list_intersect(x.ts, y.ts)) * 1.0 /
+          (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))), 6)
+      AS score
+  FROM cand
+  JOIN toksets x ON x.doc_id = id_a
+  JOIN toksets y ON y.doc_id = id_b
+  WHERE len(list_intersect(x.ts, y.ts)) * 1.0 /
+        (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.6
+), g(id_a, id_b, score, acc) AS (
+  SELECT id_a, id_b, score, FALSE FROM ndp
+  UNION ALL
+  SELECT r.id_a, r.id_b, r.score, r.acc FROM (
+    WITH rem AS (SELECT id_a, id_b, score FROM g WHERE NOT acc),
+    ranked AS (
+      SELECT id_a, id_b, score,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY score DESC, id_a, id_b) AS rn
+      FROM (
+        SELECT id_a, id_b, score, id_a AS node FROM rem
+        UNION ALL
+        SELECT id_a, id_b, score, id_b AS node FROM rem
+      )
+    ), dom AS (
+      SELECT id_a, id_b, score FROM ranked
+      GROUP BY id_a, id_b, score
+      HAVING count(*) FILTER (rn = 1) = 2
+    )
+    SELECT id_a, id_b, score, TRUE AS acc FROM dom
+    UNION ALL
+    SELECT r.id_a, r.id_b, r.score, FALSE AS acc
+    FROM rem r
+    WHERE NOT EXISTS (SELECT 1 FROM dom d
+                      WHERE d.id_a IN (r.id_a, r.id_b)
+                         OR d.id_b IN (r.id_a, r.id_b))
+      AND EXISTS (SELECT 1 FROM dom)
+  ) r
+)
+SELECT id_a, id_b, score FROM g WHERE acc"""
+    # embedding_near_dup_lsh oracle: the 4 random hyperplanes are
+    # seed-deterministic (RandomState(42), dim 64) — emitted here as
+    # DOUBLE[] literals so the SQL reproduces the engine's sign codes,
+    # 1-bit multi-probe buckets and in-bucket cosine filter exactly
+    # (extras.dedup.embedding_near_dup_pairs).
+    _lsh_planes = np.random.RandomState(42).normal(size=(4, 64))
+    _plane_rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in _lsh_planes[i])}]"
+        "::DOUBLE[])" for i in range(4))
+    lsh_sql = f"""
+WITH planes AS (
+  SELECT * FROM (VALUES
+    {_plane_rows}) p(i, vec)
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sig AS (
+  SELECT vec_id, e,
+    sum(CASE WHEN list_inner_product(e, p.vec) > 0
+        THEN (1 << p.i) ELSE 0 END)::BIGINT AS code
+  FROM v CROSS JOIN planes p GROUP BY vec_id, e
+), probes AS (
+  SELECT vec_id, e, xor(code, f) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM probes a JOIN probes b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_cosine_similarity(x.e, y.e), 6) AS cosine
+FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+WHERE list_cosine_similarity(x.e, y.e) >= 0.35"""
+    # tfidf_canopy / levenshtein_canopy oracles: the sequential
+    # ascending-rid canopy sweep as a recursive CTE — each step picks
+    # the min unassigned rid as the next center and captures every
+    # unassigned record within threshold, exactly the engine's pinned
+    # order (blocking/canopy.py::canopy_assign,
+    # blocking/levenshtein.py::levenshtein_canopy_keys).  The pairwise
+    # similarity relation is precomputed once (cospairs / close) so the
+    # recursion only consults it.
+    tfidf_canopy_sql = f"""
+WITH RECURSIVE tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS f
+  FROM (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), dfc AS (
+  SELECT tok, count(*) AS d FROM tf GROUP BY tok
+), w0 AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.f * (ln((SELECT count(*) FROM documents) / (1.0 + dfc.d)) + 1.0)
+           AS w
+  FROM tf JOIN dfc USING (tok)
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w0 GROUP BY doc_id
+), w AS (
+  SELECT w0.doc_id, tok, w / nn AS w FROM w0 JOIN nrm USING (doc_id)
+  WHERE nn > 0
+), cospairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING sum(a.w * b.w) >= 0.6
+), sweep(assigned) AS (
+  SELECT CAST([] AS STRUCT(r BIGINT, c BIGINT)[])
+  UNION ALL
+  SELECT assigned ||
+    list_prepend(struct_pack(r := ctr.doc_id, c := ctr.doc_id), coalesce((
+      SELECT list(struct_pack(r := x.db, c := ctr.doc_id) ORDER BY x.db)
+      FROM cospairs x
+      WHERE x.da = ctr.doc_id
+        AND NOT list_contains(list_transform(assigned, z -> z.r), x.db)
+    ), []))
+  FROM sweep, LATERAL (
+      SELECT doc_id FROM documents
+      WHERE NOT list_contains(list_transform(assigned, z -> z.r), doc_id)
+      ORDER BY doc_id LIMIT 1
+    ) ctr
+), final AS (
+  SELECT assigned FROM sweep ORDER BY len(assigned) DESC LIMIT 1
+)
+SELECT 'canopy:' || CAST(a.c AS VARCHAR) AS block_key, a.r AS record_id
+FROM (SELECT unnest(assigned) AS a FROM final)"""
+    lev_canopy_sql = """
+WITH RECURSIVE vals AS (
+  SELECT source AS v, min(doc_id) AS mrid FROM documents
+  WHERE source IS NOT NULL AND source <> '' GROUP BY source
+), close AS (
+  SELECT a.v AS va, b.v AS vb FROM vals a JOIN vals b
+  ON levenshtein(a.v, b.v) <= 1
+), sweep(assigned) AS (
+  SELECT CAST([] AS STRUCT(v VARCHAR, c BIGINT)[])
+  UNION ALL
+  SELECT assigned || (
+      SELECT list(struct_pack(v := x.vb, c := ctr.mrid) ORDER BY x.vb)
+      FROM close x
+      WHERE x.va = ctr.v
+        AND NOT list_contains(list_transform(assigned, z -> z.v), x.vb)
+    )
+  FROM sweep, LATERAL (
+      SELECT v, mrid FROM vals
+      WHERE NOT list_contains(list_transform(assigned, z -> z.v), v)
+      ORDER BY mrid LIMIT 1
+    ) ctr
+), final AS (
+  SELECT assigned FROM sweep ORDER BY len(assigned) DESC LIMIT 1
+), amap AS (
+  SELECT a.v AS v, a.c AS c FROM (SELECT unnest(assigned) AS a FROM final)
+)
+SELECT 'lev:' || CAST(m.c AS VARCHAR) AS block_key, d.doc_id AS record_id
+FROM documents d JOIN amap m ON d.source = m.v"""
     return {
         "normalize_documents":
             f"SELECT doc_id, {_NORM_SQL} AS text_norm FROM documents",
@@ -878,10 +1044,11 @@ WITH toks AS (
                                    ORDER BY jaccard DESC, canon_id) AS rn
               FROM sims WHERE jaccard >= 0.3
             ) WHERE rn <= 2""",
-        # embedding_near_dup_lsh, tfidf_canopy, levenshtein_canopy,
-        # greedy_matching, flagship_dedupe: intentionally no SQL oracle
-        # (approximate recall / order-dependent sequential sweeps /
-        # full engine) → rows-only.  Their semantics are covered by
-        # tests/ (LSH-subset-of-exact + recall bars, canopy parity vs
-        # the O(n^2) oracle, greedy + flagship golden-parity F1).
+        "embedding_near_dup_lsh": lsh_sql,
+        "tfidf_canopy": tfidf_canopy_sql,
+        "levenshtein_canopy": lev_canopy_sql,
+        "greedy_matching": greedy_sql,
+        # flagship_dedupe: intentionally no SQL oracle (full engine —
+        # LR scoring + hierarchical clustering) → rows-only; its
+        # semantics are covered by the golden-parity F1 tests.
     }
