@@ -273,8 +273,11 @@ def _q_q1_lineitem(sf_dir: str):
                          "n": g["qty_count"]})
 
     from ray.data.aggregate import Sum
+    # 6 output groups: a handful of reduce partitions, not 2×CPUs —
+    # avoids a fleet of empty final blocks (and their schema warnings)
     agg = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=4) \
+        .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
             Sum("sum_rev", alias_name="sum_rev"),
             Sum("n", alias_name="n"))
@@ -309,8 +312,9 @@ def _q_orders_customer_join(sf_dir: str):
                          "total": g["o_totalprice_sum"]})
 
     from ray.data.aggregate import Sum
+    # 5 market segments: small fixed reduce fan-in (see q1 note)
     agg = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("c_mktsegment").aggregate(
+        .groupby("c_mktsegment", num_partitions=4).aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("total", alias_name="total"))
     def finish(t: pa.Table) -> pa.Table:
