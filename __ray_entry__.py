@@ -386,6 +386,34 @@ def _q_near_dup_pairs(sf_dir: str):
     return jaccard_verify_pairs(cands, _docs(sf_dir), threshold=0.6)
 
 
+def _q_fuzzy_dedup(sf_dir: str):
+    """End-to-end fuzzy dedup — THE canonical LLM-training-data
+    pipeline: MinHash-LSH candidates → exact-Jaccard verify (>= 0.6)
+    → connected components over the near-dup graph → every doc mapped
+    to its component representative (min doc_id; unique docs map to
+    themselves).  Downstream keeps rows where doc_id == rep_id."""
+    from dedupe_api_ray.stages.clustering import connected_components
+    from dedupe_api_ray.utils import default_num_partitions
+
+    pairs = _q_near_dup_pairs(sf_dir)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
+        batch_format="pyarrow")
+    labels = connected_components(edges, mode="distributed")
+    all_ids = _docs(sf_dir).select_columns(["doc_id"])
+    left = all_ids.join(
+        labels.map_batches(
+            lambda t: t.rename_columns(["__rid", "component_id"]),
+            batch_format="pyarrow"),
+        join_type="left_outer", num_partitions=default_num_partitions(),
+        on=("doc_id",), right_on=("__rid",))
+    return left.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "rep_id": pc.coalesce(t["component_id"],
+                                                  t["doc_id"])}),
+        batch_format="pyarrow")
+
+
 def _q_simhash(sf_dir: str):
     """SimHash via the md5 (SQL-reproducible) family so the oracle can
     verify it bit-for-bit; the blake2b family (extras.dedup.SimHasher)
@@ -583,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
         "near_dup_pairs": _q_near_dup_pairs,
+        "fuzzy_dedup_docs": _q_fuzzy_dedup,
         "simhash_docs": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -650,7 +679,7 @@ WITH toks AS (
     # greedy-matching equivalence, expressed as a recursive CTE.
     # Scores compare on the ROUNDED jaccard (6 dp), matching the
     # engine's input column exactly (near_dup_pairs is hash-green).
-    greedy_sql = minhash_cte.replace("\nWITH toks", "\nWITH RECURSIVE toks") \
+    ndp_cte = minhash_cte.replace("\nWITH toks", "\nWITH RECURSIVE toks") \
         + f""", cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band, band_key)
@@ -667,7 +696,8 @@ WITH toks AS (
   JOIN toksets y ON y.doc_id = id_b
   WHERE len(list_intersect(x.ts, y.ts)) * 1.0 /
         (len(x.ts) + len(y.ts) - len(list_intersect(x.ts, y.ts))) >= 0.6
-), g(id_a, id_b, score, acc) AS (
+)"""
+    greedy_sql = ndp_cte + """, g(id_a, id_b, score, acc) AS (
   SELECT id_a, id_b, score, FALSE FROM ndp
   UNION ALL
   SELECT r.id_a, r.id_b, r.score, r.acc FROM (
@@ -697,6 +727,19 @@ WITH toks AS (
   ) r
 )
 SELECT id_a, id_b, score FROM g WHERE acc"""
+    # fuzzy_dedup oracle: the same verified near-dup edge set, closed
+    # under the recursive min-label walk (as cc_components), then each
+    # doc labeled with its component minimum (its own id if unique)
+    fuzzy_sql = ndp_cte + """, edges AS (
+  SELECT id_a AS u, id_b AS v FROM ndp
+  UNION SELECT id_b, id_a FROM ndp
+), walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.lbl < e.v
+)
+SELECT node AS doc_id, min(lbl) AS rep_id FROM walk GROUP BY node"""
     # embedding_near_dup_lsh oracle: the 4 random hyperplanes are
     # seed-deterministic (RandomState(42), dim 64) — emitted here as
     # DOUBLE[] literals so the SQL reproduces the engine's sign codes,
@@ -1048,6 +1091,7 @@ FROM documents d JOIN amap m ON d.source = m.v"""
                                    ORDER BY jaccard DESC, canon_id) AS rn
               FROM sims WHERE jaccard >= 0.3
             ) WHERE rn <= 2""",
+        "fuzzy_dedup_docs": fuzzy_sql,
         "embedding_near_dup_lsh": lsh_sql,
         "tfidf_canopy": tfidf_canopy_sql,
         "levenshtein_canopy": lev_canopy_sql,
