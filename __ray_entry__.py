@@ -386,6 +386,17 @@ def _q_near_dup_pairs(sf_dir: str):
     return jaccard_verify_pairs(cands, _docs(sf_dir), threshold=0.6)
 
 
+def _q_simhash_near_dup(sf_dir: str):
+    """SimHash near-dup pairs at Hamming <= 3 over the md5 (SQL-
+    reproducible) signature family; pigeonhole 4-chunk blocking gives
+    recall 1.0 by construction, so the oracle can enumerate pairs from
+    the same chunk join and the sets match exactly."""
+    from dedupe_api_ray.extras.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3,
+                                  family="md5")
+
+
 def _q_fuzzy_dedup(sf_dir: str):
     """End-to-end fuzzy dedup — THE canonical LLM-training-data
     pipeline: MinHash-LSH candidates → exact-Jaccard verify (>= 0.6)
@@ -612,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_bands": _q_minhash_bands,
         "near_dup_pairs": _q_near_dup_pairs,
         "fuzzy_dedup_docs": _q_fuzzy_dedup,
+        "simhash_near_dup": _q_simhash_near_dup,
         "simhash_docs": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -772,6 +784,44 @@ SELECT c.id_a, c.id_b,
        round(list_cosine_similarity(x.e, y.e), 6) AS cosine
 FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
 WHERE list_cosine_similarity(x.e, y.e) >= 0.35"""
+    # simhash_near_dup oracle: same md5-family signature CTE as
+    # simhash_docs, then the identical pigeonhole chunk join
+    # (63 bits → spans 16/16/16/15, recall 1.0 at Hamming <= 3) and an
+    # exact bit_count(xor) verify — engine and SQL enumerate the same
+    # pair set by construction.
+    simhash_near_sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         cast(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+  FROM toks
+), votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(63)) AS i)
+  GROUP BY doc_id, i
+), sh0 AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN v > 0 THEN (1::UBIGINT << i)
+                  ELSE 0::UBIGINT END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+), sh AS (
+  SELECT d.doc_id, coalesce(sh0.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN sh0 USING (doc_id)
+), ch AS (
+  SELECT s.doc_id, s.simhash,
+         c.idx, (s.simhash >> c.sh) & c.mask AS val
+  FROM sh s CROSS JOIN (VALUES
+    (0, 0, 65535), (1, 16, 65535), (2, 32, 65535), (3, 48, 32767)
+  ) c(idx, sh, mask)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM ch a JOIN ch b
+  ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     # tfidf_canopy / levenshtein_canopy oracles: the sequential
     # ascending-rid canopy sweep as a recursive CTE — each step picks
     # the min unassigned rid as the next center and captures every
@@ -1092,6 +1142,7 @@ FROM documents d JOIN amap m ON d.source = m.v"""
               FROM sims WHERE jaccard >= 0.3
             ) WHERE rn <= 2""",
         "fuzzy_dedup_docs": fuzzy_sql,
+        "simhash_near_dup": simhash_near_sql,
         "embedding_near_dup_lsh": lsh_sql,
         "tfidf_canopy": tfidf_canopy_sql,
         "levenshtein_canopy": lev_canopy_sql,

@@ -324,6 +324,124 @@ def simhash_md5_table(docs: ray.data.Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup pairs (Manku/Jain/Sarma WWW'07 chunk blocking)
+# ---------------------------------------------------------------------------
+
+# numpy < 2.0 has no bitwise_count: 16-bit lookup table, applied per lane
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    m = np.uint64(0xFFFF)
+    return (_POP16[(x & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(16)) & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(32)) & m).astype(np.int64)]
+            + _POP16[((x >> np.uint64(48)) & m).astype(np.int64)])
+
+
+def simhash_near_dup_pairs(docs: ray.data.Dataset,
+                           max_hamming: int = 3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           family: str = "md5") -> ray.data.Dataset:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Blocking is the classic pigeonhole split (Manku et al., WWW 2007):
+    the 63-bit signature is cut into ``max_hamming + 1`` chunks — any
+    pair within the Hamming bound agrees EXACTLY on at least one chunk,
+    so candidates are pairs sharing a (chunk_idx, chunk_value) key and
+    recall is 1.0 by construction.  Each candidate group verifies the
+    true distance with a vectorized XOR + popcount; pairs are emitted
+    once (bucketed distinct keeps the min-hamming duplicate).
+
+    Scale shape: the (chunk_idx, chunk_value) key is folded into one
+    int64 (multi-key groupby workaround, SURVEY §4.1), groups carry
+    only (doc_id, simhash) — 16 bytes/row — and the per-group work is
+    an all-pairs popcount over vectors that share 16 signature bits
+    (group sizes follow near-dup density, not corpus size).
+
+    ``family='md5'`` uses the SQL-reproducible signature
+    (simhash63_md5, mirrored in the DuckDB oracle); ``'blake2b'``
+    uses the fast SimHasher scale path."""
+    n_chunks = max_hamming + 1
+    # chunk bit spans over the 63-bit signature, low to high
+    spans = []
+    base = 63 // n_chunks
+    extra = 63 - base * n_chunks
+    lo = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        spans.append((lo, width))
+        lo += width
+
+    sig = simhash_md5_table(docs, text_col=text_col, id_col=id_col) \
+        if family == "md5" else simhash_table(docs, text_col=text_col,
+                                              id_col=id_col)
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_key = np.empty(len(ids) * n_chunks, dtype=np.int64)
+        for c, (shift, width) in enumerate(spans):
+            mask = np.uint64((1 << width) - 1)
+            val = ((sh >> np.uint64(shift)) & mask).astype(np.int64)
+            # fold (chunk_idx, value) into one int64 key: idx in the
+            # top bits, 16-bit-max chunk value in the low bits
+            out_key[c::n_chunks] = (np.int64(c) << np.int64(32)) | val
+        return pa.table({
+            "chunk_key": pa.array(out_key),
+            "doc_id": pa.array(np.repeat(ids, n_chunks)),
+            "simhash": pa.array(np.repeat(sh.astype(np.int64), n_chunks)),
+        })
+
+    _EMPTY = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "hamming": pd.Series(dtype="int64")})
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if "doc_id" not in g.columns:  # empty shuffle partition
+            return _EMPTY.copy()
+        sub = g.drop_duplicates("doc_id")
+        ids = sub["doc_id"].to_numpy()
+        sh = sub["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return _EMPTY.copy()
+        ia, ib = np.triu_indices(len(ids), k=1)
+        ham = _popcount64(sh[ia] ^ sh[ib])
+        keep = ham <= max_hamming
+        lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
+        hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        return pd.DataFrame({"id_a": lo.astype(np.int64),
+                             "id_b": hi.astype(np.int64),
+                             "hamming": ham[keep].astype(np.int64)})
+
+    from dedupe_api_ray.utils import shuffle_partitions
+    pairs = sig.map_batches(chunk_rows, batch_format="pyarrow") \
+        .groupby("chunk_key",
+                 num_partitions=shuffle_partitions()) \
+        .map_groups(group_pairs, batch_format="pandas")
+
+    # a pair can surface from several chunks: bucketed distinct
+    def bucket_tag(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((a * np.uint64(0x9E3779B97F4A7C15)) ^ b) % np.uint64(64)
+        return t.append_column("__bucket", pa.array(h.astype(np.int64)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        if "id_a" not in g.columns:  # empty shuffle partition
+            return _EMPTY.copy()
+        return g.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "hamming"]]
+
+    return pairs.map_batches(bucket_tag, batch_format="pyarrow") \
+        .groupby("__bucket", num_partitions=min(64, shuffle_partitions())) \
+        .map_groups(dedup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup (hash-partition + per-group min id — SURVEY.md M5/G7)
 # ---------------------------------------------------------------------------
 

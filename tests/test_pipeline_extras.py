@@ -131,6 +131,39 @@ def test_exact_dedup_and_simhash(ray_session):
     assert m[1] == m[3] and m[2] == m[5] and m[1] != m[4]
 
 
+def test_simhash_near_dup_equals_brute_force(ray_session):
+    """Pigeonhole chunk blocking has recall 1.0 by construction: the
+    distributed pair set must EQUAL the O(n^2) popcount sweep."""
+    from dedupe_api_ray.extras.dedup import (simhash63_md5,
+                                             simhash_near_dup_pairs)
+
+    rng = np.random.RandomState(7)
+    words = [f"w{i}" for i in range(240)]
+    texts = []
+    for i in range(40):
+        # 60-token docs: a one-token perturbation lands mostly within
+        # hamming <= 3 of its twin (vote margins are wide)
+        base = [words[j] for j in rng.choice(240, size=60, replace=False)]
+        texts.append(" ".join(base))
+        if i % 2 == 0:  # twin doc
+            texts.append(" ".join(base[:-1] + [words[rng.randint(240)]]))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    got = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    got_set = {(a, b, h) for a, b, h in
+               zip(got["id_a"], got["id_b"], got["hamming"])}
+    sigs = [simhash63_md5(t) for t in texts]
+    want = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if h <= 3:
+                want.add((i, j, h))
+    assert got_set == want
+    assert want, "fixture should contain close signatures"
+
+
 def test_topk_brute_force_vs_ivf(ray_session):
     """IVF with nprobe = all centroids must equal brute force."""
     from dedupe_api_ray.extras.similarity import brute_force_topk, ivf_topk
