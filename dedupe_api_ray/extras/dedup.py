@@ -124,67 +124,123 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset,
                            else (1 << 62), metrics=metrics)
 
 
+def _pairwise_intersect_counts(seg_a: list[np.ndarray],
+                               seg_b: list[np.ndarray]) -> np.ndarray:
+    """For each pair i, |set(seg_a[i]) ∩ set(seg_b[i])| — one lexsort
+    over the concatenated (pair, value) rows instead of a Python set
+    op per pair.  Segments must hold UNIQUE values (token-id arrays
+    are np.unique'd at build time), so an adjacent duplicate within a
+    pair means membership on both sides — the same sort-merge trick as
+    the scorer sidecar cosine (stages/scoring.py)."""
+    n = len(seg_a)
+    la = np.fromiter((len(s) for s in seg_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in seg_b), dtype=np.int64, count=n)
+    tot = int(la.sum() + lb.sum())
+    if tot == 0:
+        return np.zeros(n, dtype=np.int64)
+    vals = np.concatenate([x for pair in zip(seg_a, seg_b) for x in pair
+                           if len(x)]) if tot else np.zeros(0, np.int64)
+    pair_idx = np.repeat(np.arange(n), la + lb)
+    order = np.lexsort((vals, pair_idx))
+    ps, vs = pair_idx[order], vals[order]
+    eq = (ps[1:] == ps[:-1]) & (vs[1:] == vs[:-1])
+    inter = np.zeros(n, dtype=np.int64)
+    np.add.at(inter, ps[1:][eq], 1)
+    return inter
+
+
+class _TokenIdVocab:
+    """Per-actor token → int32 id vocabulary (exact — no hash
+    collisions) with a doc-level cache of sorted unique id arrays."""
+
+    _CACHE_CAP = 500_000
+
+    def __init__(self):
+        self.vocab: dict[str, int] = {}
+        self.doc_cache: dict[int, np.ndarray] = {}
+
+    def ids_of(self, rid: int, text) -> np.ndarray:
+        arr = self.doc_cache.get(rid)
+        if arr is None:
+            if len(self.doc_cache) > self._CACHE_CAP:
+                self.doc_cache.clear()
+            vocab = self.vocab
+            toks = set(TOKEN_RE.findall((text or "").lower()))
+            out = np.empty(len(toks), dtype=np.int64)
+            for k, t in enumerate(toks):
+                v = vocab.get(t)
+                if v is None:
+                    v = len(vocab)
+                    vocab[t] = v
+                out[k] = v
+            out.sort()
+            arr = out
+            self.doc_cache[rid] = arr
+        return arr
+
+
 class JaccardVerifier:
     """Verify candidate pairs with exact token-set Jaccard; the text
-    payload is broadcast (small side) or joined upstream."""
+    payload is broadcast (small side) or joined upstream.  Tokenizes
+    the corpus ONCE per actor into sorted unique token-id arrays, then
+    scores each batch with a single lexsort merge-intersect — no
+    per-pair Python set ops."""
 
     def __init__(self, docs_ref, threshold: float):
         tbl = ray.get(docs_ref)
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
         texts = tbl["text"].to_pylist()
-        self.toksets = {int(i): set(TOKEN_RE.findall((t or "").lower()))
-                        for i, t in zip(ids, texts)}
+        vocab = _TokenIdVocab()
+        self.toks = {int(i): vocab.ids_of(int(i), t)
+                     for i, t in zip(ids, texts)}
         self.threshold = threshold
+        self._empty = np.zeros(0, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ida = batch["id_a"].to_pylist()
         idb = batch["id_b"].to_pylist()
-        sims = np.empty(len(ida))
-        for i, (a, b) in enumerate(zip(ida, idb)):
-            sa, sb = self.toksets.get(a, set()), self.toksets.get(b, set())
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            sims[i] = inter / union if union else 0.0
+        toks = self.toks
+        empty = self._empty
+        seg_a = [toks.get(a, empty) for a in ida]
+        seg_b = [toks.get(b, empty) for b in idb]
+        inter = _pairwise_intersect_counts(seg_a, seg_b)
+        la = np.fromiter((len(s) for s in seg_a), np.int64, len(seg_a))
+        lb = np.fromiter((len(s) for s in seg_b), np.int64, len(seg_b))
+        union = la + lb - inter
+        sims = np.divide(inter, union, out=np.zeros(len(ida)),
+                         where=union > 0)
         keep = sims >= self.threshold  # threshold on the exact value
-        tbl = pa.table({"id_a": pa.array(np.asarray(batch["id_a"])[keep]),
-                        "id_b": pa.array(np.asarray(batch["id_b"])[keep]),
-                        "jaccard": pa.array(np.round(sims[keep], 6),
-                                            pa.float64())})
-        return tbl
+        return pa.table({"id_a": pa.array(np.asarray(batch["id_a"])[keep]),
+                         "id_b": pa.array(np.asarray(batch["id_b"])[keep]),
+                         "jaccard": pa.array(np.round(sims[keep], 6),
+                                             pa.float64())})
 
 
 class JoinedJaccardVerifier:
     """Verify pairs whose texts arrive WITH the pair rows (join path —
-    no corpus broadcast).  A per-actor tokenset cache keyed by doc id
-    avoids re-tokenizing a document for every pair it appears in."""
-
-    _CACHE_CAP = 500_000
+    no corpus broadcast).  The per-actor vocabulary + doc cache avoids
+    re-tokenizing a document for every pair it appears in; pair
+    scoring is the same vectorized merge-intersect as the broadcast
+    path."""
 
     def __init__(self, threshold: float):
         self.threshold = threshold
-        self.cache: dict[int, frozenset] = {}
-
-    def _tokset(self, rid: int, text) -> frozenset:
-        s = self.cache.get(rid)
-        if s is None:
-            if len(self.cache) > self._CACHE_CAP:
-                self.cache.clear()
-            s = frozenset(TOKEN_RE.findall((text or "").lower()))
-            self.cache[rid] = s
-        return s
+        self.vocab = _TokenIdVocab()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ida = batch["id_a"].to_pylist()
         idb = batch["id_b"].to_pylist()
         ta = batch["a_text"].to_pylist()
         tb = batch["b_text"].to_pylist()
-        sims = np.empty(len(ida))
-        for i in range(len(ida)):
-            sa = self._tokset(ida[i], ta[i])
-            sb = self._tokset(idb[i], tb[i])
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            sims[i] = inter / union if union else 0.0
+        ids_of = self.vocab.ids_of
+        seg_a = [ids_of(r, t) for r, t in zip(ida, ta)]
+        seg_b = [ids_of(r, t) for r, t in zip(idb, tb)]
+        inter = _pairwise_intersect_counts(seg_a, seg_b)
+        la = np.fromiter((len(s) for s in seg_a), np.int64, len(seg_a))
+        lb = np.fromiter((len(s) for s in seg_b), np.int64, len(seg_b))
+        union = la + lb - inter
+        sims = np.divide(inter, union, out=np.zeros(len(ida)),
+                         where=union > 0)
         keep = sims >= self.threshold
         return pa.table({"id_a": pa.array(np.asarray(batch["id_a"])[keep]),
                          "id_b": pa.array(np.asarray(batch["id_b"])[keep]),
