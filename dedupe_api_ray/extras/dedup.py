@@ -33,12 +33,20 @@ from dedupe_api_ray.functions.text import TOKEN_RE
 MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    toks = sorted(set(TOKEN_RE.findall(text.lower()))) if text else []
-    if not toks:
+def _token_hashes(text: str, shingle_size: int = 1) -> np.ndarray:
+    """Distinct-feature 64-bit hashes.  shingle_size=1: the token SET
+    (order-free).  shingle_size=w>1: w-shingles over the token STREAM
+    (Broder '97) — order-sensitive, the standard web-dedup feature."""
+    toks = TOKEN_RE.findall(text.lower()) if text else []
+    if shingle_size <= 1:
+        feats = sorted(set(toks))
+    else:
+        feats = sorted({" ".join(toks[i:i + shingle_size])
+                        for i in range(len(toks) - shingle_size + 1)})
+    if not feats:
         return np.zeros(0, dtype=np.uint64)
-    out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
+    out = np.empty(len(feats), dtype=np.uint64)
+    for i, t in enumerate(feats):
         out[i] = int.from_bytes(
             hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
     return out
@@ -47,10 +55,13 @@ def _token_hashes(text: str) -> np.ndarray:
 class MinHasher:
     """Actor-pool stage: text → num_perm minhash values → LSH band
     keys.  Permutation parameters generated once per actor from a
-    fixed seed (deterministic across actors/runs)."""
+    fixed seed (deterministic across actors/runs).  ``shingle_size``
+    > 1 switches the feature set from token sets to w-shingles."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42,
-                 text_col: str = "text", id_col: str = "doc_id"):
+                 text_col: str = "text", id_col: str = "doc_id",
+                 shingle_size: int = 1):
+        self.shingle_size = shingle_size
         rng = np.random.RandomState(seed)
         self.a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
         self.b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
@@ -61,7 +72,7 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        th = _token_hashes(text)
+        th = _token_hashes(text, self.shingle_size)
         if len(th) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         # (num_perm, n_tokens) universal hashing mod Mersenne prime
@@ -93,11 +104,13 @@ class MinHasher:
 def minhash_band_rows(ds: ray.data.Dataset, num_perm: int = 64,
                       bands: int = 16, text_col: str = "text",
                       id_col: str = "doc_id",
-                      concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
+                      concurrency: int | tuple = (1, 8),
+                      shingle_size: int = 1) -> ray.data.Dataset:
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   text_col=text_col, id_col=id_col),
+                                   text_col=text_col, id_col=id_col,
+                                   shingle_size=shingle_size),
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
 
 

@@ -209,3 +209,34 @@ def test_gazetteer_and_recordlink(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     # only doc 4 shares the first token 'alpha' with docs 1 and 2
     assert got == {(1, 4), (2, 4)}
+
+
+def test_minhash_shingles_order_sensitive(ray_session):
+    """w-shingle MinHash separates docs that share the token SET but
+    not the token ORDER; unigram MinHash cannot."""
+    import pyarrow.compute as pc
+
+    from dedupe_api_ray.extras.dedup import (lsh_candidate_pairs,
+                                             minhash_band_rows)
+
+    fwd = " ".join(f"w{i}" for i in range(50))
+    rev = " ".join(f"w{i}" for i in reversed(range(50)))
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array([fwd, rev, fwd + " extra"])})
+    ds = ray.data.from_arrow(tbl).materialize()
+
+    def cands(shingle_size):
+        bands = minhash_band_rows(ds, num_perm=32, bands=16,
+                                  shingle_size=shingle_size)
+        df = lsh_candidate_pairs(bands.map_batches(
+            lambda t: pa.table({"band_key": pc.cast(t["band_key"],
+                                                    pa.string()),
+                                "doc_id": t["doc_id"]}),
+            batch_format="pyarrow")).to_pandas()
+        return {(a, b) for a, b in zip(df["id_a"], df["id_b"])}
+
+    uni = cands(1)
+    tri = cands(3)
+    assert (0, 1) in uni          # same token set → unigram collides
+    assert (0, 1) not in tri      # shingles see the different order
+    assert (0, 2) in tri          # near-identical stream still found
