@@ -71,10 +71,14 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
-    def signature(self, text: str) -> np.ndarray:
+    def signature(self, text: str) -> np.ndarray | None:
+        """None for featureless docs (empty text, or shorter than the
+        shingle size): emitting a shared sentinel signature would put
+        every such doc into ONE hot band bucket — millions of junk
+        candidate pairs at web scale that verify only throws away."""
         th = _token_hashes(text, self.shingle_size)
         if len(th) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+            return None
         # (num_perm, n_tokens) universal hashing mod Mersenne prime
         v = (self.a[:, None] * th[None, :] + self.b[:, None]) % MERSENNE
         return v.min(axis=1)
@@ -85,6 +89,8 @@ class MinHasher:
         out_id, out_band, out_key = [], [], []
         for rid, text in zip(ids, texts):
             sig = self.signature(text)
+            if sig is None:
+                continue
             for b in range(self.bands):
                 chunk = sig[b * self.rows:(b + 1) * self.rows]
                 # band index folded into the key hash → a single int64
