@@ -298,11 +298,14 @@ def jaccard_verify_pairs(cands: ray.data.Dataset, docs: ray.data.Dataset,
     ``broadcast_threshold`` docs, two hash joins above (scale path)."""
     n_docs = docs.count()
     if n_docs <= broadcast_threshold:
-        small = pa.concat_tables(list(
+        batches = list(
             docs.map_batches(
                 lambda t: pa.table({"doc_id": t[id_col], "text": t[text_col]}),
                 batch_format="pyarrow")
-            .iter_batches(batch_format="pyarrow", batch_size=65536)))
+            .iter_batches(batch_format="pyarrow", batch_size=65536))
+        small = pa.concat_tables(batches) if batches else pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())})
         docs_ref = ray.put(small)
         return cands.map_batches(
             JaccardVerifier,

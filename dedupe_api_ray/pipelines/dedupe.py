@@ -131,14 +131,35 @@ def partition(records: ray.data.Dataset, model: Model,
             batch_format="pyarrow")
         joined = hashed.join(reps, join_type="inner",
                              num_partitions=num_partitions, on=("row_hash",))
-        joined = joined.materialize()
+        # Ray 2.49 joins emit SCHEMA-LESS empty blocks for hash
+        # partitions that received no rows (degenerate/skewed key
+        # distributions), and map UDFs are SKIPPED on empty blocks, so
+        # no map can re-type them — any later join over such a block
+        # dies with "No match ... FieldRef".  repartition (coalesce
+        # mode: linear block split/merge, NOT an all-to-all) folds the
+        # empties into typed blocks.
+        joined = joined.repartition(num_partitions).materialize()
         _mark("collapse join materialized")
-        dupes_map = joined.map_batches(
-            lambda t: t.filter(pc.not_equal(t[id_col], t["rep_id"]))
-            .select([id_col, "rep_id"]), batch_format="pyarrow")
-        fuzzy_input = joined.map_batches(
-            lambda t: t.filter(pc.equal(t[id_col], t["rep_id"]))
-            .drop_columns(["row_hash", "rep_id"]), batch_format="pyarrow")
+        jschema: pa.Schema = joined.schema().base_schema
+        dup_schema = pa.schema([jschema.field(id_col),
+                                jschema.field("rep_id")])
+        fuzzy_schema = pa.schema([f for f in jschema
+                                  if f.name not in ("row_hash", "rep_id")])
+
+        def dup_fn(t: pa.Table, _s=dup_schema) -> pa.Table:
+            if t.num_columns == 0:  # unreachable post-repartition; safety
+                return _s.empty_table()
+            return t.filter(pc.not_equal(t[id_col], t["rep_id"])) \
+                .select([id_col, "rep_id"])
+
+        def fuzzy_fn(t: pa.Table, _s=fuzzy_schema) -> pa.Table:
+            if t.num_columns == 0:  # unreachable post-repartition; safety
+                return _s.empty_table()
+            return t.filter(pc.equal(t[id_col], t["rep_id"])) \
+                .drop_columns(["row_hash", "rep_id"])
+
+        dupes_map = joined.map_batches(dup_fn, batch_format="pyarrow")
+        fuzzy_input = joined.map_batches(fuzzy_fn, batch_format="pyarrow")
 
     fuzzy_input = add_tokens(fuzzy_input, model.field_defs)
     fuzzy_input = fuzzy_input.materialize()
@@ -222,9 +243,12 @@ def partition(records: ray.data.Dataset, model: Model,
 
         # materialize: the dup-rejoin branch consumes entity_map twice
         # (union side + rep lookup side); lazy it would execute the
-        # left-outer join twice.
-        entity_map = left.map_batches(fill_singletons,
-                                      batch_format="pyarrow").materialize()
+        # left-outer join twice.  repartition first: the left-outer
+        # join can emit schema-less empty partitions on degenerate key
+        # distributions (see the collapse-join note above).
+        entity_map = left.repartition(np_small) \
+            .map_batches(fill_singletons, batch_format="pyarrow") \
+            .materialize()
     _mark("entity_map (pre-dup) materialized")
 
     if exact_collapse and dupes_map is not None and dupes_map.count() > 0:
