@@ -414,7 +414,11 @@ def _q_fuzzy_dedup(sf_dir: str):
     all_ids = _docs(sf_dir).select_columns(["doc_id"])
     left = all_ids.join(
         labels.map_batches(
-            lambda t: t.rename_columns(["__rid", "component_id"]),
+            # rename BY NAME: a positional rename_columns would silently
+            # mis-map if the (record_id, component_id) column order ever
+            # differed between the driver and distributed CC paths
+            lambda t: pa.table({"__rid": t["record_id"],
+                                "component_id": t["component_id"]}),
             batch_format="pyarrow"),
         join_type="left_outer", num_partitions=default_num_partitions(),
         on=("doc_id",), right_on=("__rid",))
@@ -462,12 +466,29 @@ def _q_embedding_near_dup(sf_dir: str):
         batch_format="pyarrow")
 
 
+# Pinned LSH constants, shared by _q_embedding_near_dup_lsh AND its
+# oracle SQL (the plane literals are generated from these) so engine
+# and oracle cannot drift independently; the query asserts the fixture
+# dim still matches before running.
+_EMB_LSH_SEED = 42
+_EMB_LSH_PLANES = 4
+_EMB_LSH_DIM = 64
+_EMB_LSH_THRESHOLD = 0.35
+
+
 def _q_embedding_near_dup_lsh(sf_dir: str):
     from dedupe_api_ray.extras.dedup import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(_read(sf_dir, "embeddings"),
-                                    threshold=0.35, num_buckets=4,
-                                    multiprobe=1)
+    emb = _read(sf_dir, "embeddings")
+    dim = len(emb.take(1)[0]["embedding"])
+    if dim != _EMB_LSH_DIM:
+        raise RuntimeError(
+            f"embeddings dim {dim} != pinned _EMB_LSH_DIM {_EMB_LSH_DIM}: "
+            "update the shared constant so the SQL oracle's plane "
+            "literals regenerate to match the engine")
+    return embedding_near_dup_pairs(emb, threshold=_EMB_LSH_THRESHOLD,
+                                    num_buckets=_EMB_LSH_PLANES,
+                                    multiprobe=1, seed=_EMB_LSH_SEED)
 
 
 def _q_lang_id(sf_dir: str):
@@ -510,7 +531,8 @@ def _q_cc_components(sf_dir: str):
     from dedupe_api_ray.utils import default_num_partitions
     left = all_ids.join(
         labels.map_batches(
-            lambda t: t.rename_columns(["__rid", "component_id"]),
+            lambda t: pa.table({"__rid": t["record_id"],
+                                "component_id": t["component_id"]}),
             batch_format="pyarrow"),
         join_type="left_outer", num_partitions=default_num_partitions(),
         on=("doc_id",), right_on=("__rid",))
@@ -752,15 +774,19 @@ SELECT id_a, id_b, score FROM g WHERE acc"""
   WHERE w.lbl < e.v
 )
 SELECT node AS doc_id, min(lbl) AS rep_id FROM walk GROUP BY node"""
-    # embedding_near_dup_lsh oracle: the 4 random hyperplanes are
-    # seed-deterministic (RandomState(42), dim 64) — emitted here as
-    # DOUBLE[] literals so the SQL reproduces the engine's sign codes,
-    # 1-bit multi-probe buckets and in-bucket cosine filter exactly
-    # (extras.dedup.embedding_near_dup_pairs).
-    _lsh_planes = np.random.RandomState(42).normal(size=(4, 64))
+    # embedding_near_dup_lsh oracle: the hyperplanes, probe-flip list
+    # and threshold are ALL generated from the shared pinned constants
+    # (_EMB_LSH_SEED/_EMB_LSH_PLANES/_EMB_LSH_DIM/_EMB_LSH_THRESHOLD)
+    # that the engine query uses — changing any constant regenerates
+    # the SQL in lockstep; a fixture-dim change trips the query's loud
+    # RuntimeError instead of a confusing hash mismatch.
+    _lsh_planes = np.random.RandomState(_EMB_LSH_SEED).normal(
+        size=(_EMB_LSH_PLANES, _EMB_LSH_DIM))
     _plane_rows = ",\n    ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in _lsh_planes[i])}]"
-        "::DOUBLE[])" for i in range(4))
+        "::DOUBLE[])" for i in range(_EMB_LSH_PLANES))
+    _probe_flips = ", ".join(
+        str(f) for f in [0] + [1 << i for i in range(_EMB_LSH_PLANES)])
     lsh_sql = f"""
 WITH planes AS (
   SELECT * FROM (VALUES
@@ -774,7 +800,7 @@ WITH planes AS (
   FROM v CROSS JOIN planes p GROUP BY vec_id, e
 ), probes AS (
   SELECT vec_id, e, xor(code, f) AS bucket
-  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f)
+  FROM sig CROSS JOIN (SELECT unnest([{_probe_flips}]) AS f)
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM probes a JOIN probes b USING (bucket)
@@ -783,7 +809,7 @@ WITH planes AS (
 SELECT c.id_a, c.id_b,
        round(list_cosine_similarity(x.e, y.e), 6) AS cosine
 FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
-WHERE list_cosine_similarity(x.e, y.e) >= 0.35"""
+WHERE list_cosine_similarity(x.e, y.e) >= {_EMB_LSH_THRESHOLD}"""
     # simhash_near_dup oracle: same md5-family signature CTE as
     # simhash_docs, then the identical pigeonhole chunk join
     # (63 bits → spans 16/16/16/15, recall 1.0 at Hamming <= 3) and an
@@ -816,6 +842,7 @@ WITH toks AS (
   FROM sh s CROSS JOIN (VALUES
     (0, 0, 65535), (1, 16, 65535), (2, 32, 65535), (3, 48, 32767)
   ) c(idx, sh, mask)
+  WHERE s.simhash <> 0  -- featureless docs skipped (engine parity)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming

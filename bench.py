@@ -98,6 +98,23 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray 2.49's Aggregate operator emits schema-less EMPTY bundles for
+    # reduce partitions that received no groups — even at
+    # num_partitions=1 on a 2-group input (verified: a minimal
+    # groupby().aggregate() reproduces it) — and the executor then
+    # warns "RefBundle with a different schema".  Harmless and not
+    # addressable from user code, so drop exactly that message.
+    import logging
+
+    class _DropRefBundleSchemaWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropRefBundleSchemaWarning())
+
     pages_path = ensure_corpus()
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}

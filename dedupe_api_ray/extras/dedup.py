@@ -461,6 +461,12 @@ def simhash_near_dup_pairs(docs: ray.data.Dataset,
     def chunk_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # Skip featureless docs (signature 0): they would all share one
+        # hot (chunk, 0) bucket and pair with each other at hamming 0 —
+        # O(k^2) junk output in a single map_groups task (the MinHash
+        # None-skip, mirrored; the oracle applies the same predicate).
+        nz = sh != 0
+        ids, sh = ids[nz], sh[nz]
         out_key = np.empty(len(ids) * n_chunks, dtype=np.int64)
         for c, (shift, width) in enumerate(spans):
             mask = np.uint64((1 << width) - 1)

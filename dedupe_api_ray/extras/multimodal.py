@@ -334,11 +334,29 @@ class MediaDecoder:
                                 digest_size=self.FEATURE_DIM * 8).digest()
             vec = np.frombuffer(h, dtype=np.uint64).astype(np.float64)
             return vec / np.float64(1 << 64)
-        if media_type.startswith("audio") or payload[:4] == b"RIFF":
-            x, sr = decode_audio(payload, media_type)
-            return audio_features(x, sr)
-        img = decode_image(payload, media_type)
-        return image_features(img)
+        # Branch on the DECLARED media_type first: RIFF is a generic
+        # container (WAV audio but also WebP images), so sniffing
+        # payload[:4] == b'RIFF' before checking the type routed
+        # image/webp into the WAV parser and leaked a raw wave.Error.
+        try:
+            if media_type.startswith("audio"):
+                x, sr = decode_audio(payload, media_type)
+                return audio_features(x, sr)
+            if media_type.startswith("image"):
+                img = decode_image(payload, media_type)
+                return image_features(img)
+            # unknown/unspecified type: sniff, audio only for RIFF/WAVE
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                x, sr = decode_audio(payload, media_type)
+                return audio_features(x, sr)
+            img = decode_image(payload, media_type)
+            return image_features(img)
+        except wave.Error as e:
+            raise NotImplementedError(
+                f"decode for media_type={media_type or 'unknown'!r} "
+                f"failed in the WAV parser ({e}); compressed/containered "
+                "codecs need libraries absent from this environment"
+            ) from e
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode(p, t) for p, t in

@@ -107,10 +107,20 @@ def partition(records: ray.data.Dataset, model: Model,
         lambda: prepare_records(records, model.field_defs, id_col,
                                 tokenize=False))
 
+    pschema = prepared.schema()
+    if pschema is None or not pschema.names:
+        # EMPTY records input: map stages are skipped on empty blocks
+        # (Ray 2.49) so the prepared dataset has no schema at all.
+        # The entity map is empty by definition — return it typed.
+        return ray.data.from_arrow(pa.table({
+            "record_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "confidence": pa.array([], pa.float64())}))
+
     # Arrow's hash join rejects list<> payload columns: drop any
     # pre-supplied __tokens columns here and re-derive them after the
     # collapse (add_tokens below).
-    token_cols = [c for c in (prepared.schema().names or [])
+    token_cols = [c for c in (pschema.names or [])
                   if c.endswith("__tokens")]
     if token_cols:
         prepared = prepared.drop_columns(token_cols)
@@ -140,7 +150,16 @@ def partition(records: ray.data.Dataset, model: Model,
         # empties into typed blocks.
         joined = joined.repartition(num_partitions).materialize()
         _mark("collapse join materialized")
-        jschema: pa.Schema = joined.schema().base_schema
+        jschema_obj = joined.schema()
+        if jschema_obj is None or not jschema_obj.names:
+            # partition() called on an EMPTY records dataset: the
+            # materialized join has no schema at all (Ray 2.49).  The
+            # entity map is empty by definition — return it typed.
+            return ray.data.from_arrow(pa.table({
+                "record_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "confidence": pa.array([], pa.float64())}))
+        jschema: pa.Schema = jschema_obj.base_schema
         dup_schema = pa.schema([jschema.field(id_col),
                                 jschema.field("rep_id")])
         fuzzy_schema = pa.schema([f for f in jschema
@@ -250,6 +269,16 @@ def partition(records: ray.data.Dataset, model: Model,
             .map_batches(fill_singletons, batch_format="pyarrow") \
             .materialize()
     _mark("entity_map (pre-dup) materialized")
+
+    if entity_map.count() == 0:
+        # fully-empty run whose emptiness escaped the earlier guards
+        # (schema() is inference-based and can report upstream column
+        # names even for schema-less materialized data — Ray 2.49):
+        # count() on the materialized map is definitive.  Return typed.
+        return ray.data.from_arrow(pa.table({
+            "record_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "confidence": pa.array([], pa.float64())}))
 
     if exact_collapse and dupes_map is not None and dupes_map.count() > 0:
         # duplicates rejoin with their representative's cluster (M5 †);

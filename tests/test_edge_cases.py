@@ -96,3 +96,36 @@ def test_greedy_and_cc_on_empty_pairs(ray_session):
     edges = ray.data.from_arrow(pa.table({
         "u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}))
     assert connected_components(edges).count() == 0
+
+
+def test_partition_empty_dataset(ray_session):
+    """partition() on a ZERO-record dataset must not crash (the
+    materialized collapse join loses its schema and `.base_schema`
+    raised AttributeError — now guarded) and returns 0 rows.  Ray 2.49
+    cannot carry a TYPED empty dataset (from_arrow / from_pandas of a
+    typed empty table drop the schema again on to_pandas), so column
+    presence is not asserted on the empty frame."""
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    for collapse in (True, False):
+        em = partition(_docs([]), _model(), threshold=0.5,
+                       scorer_concurrency=(1, 2), exact_collapse=collapse)
+        df = em.to_pandas()
+        assert len(df) == 0
+        assert set(df.columns) in (
+            set(), {"record_id", "cluster_id", "confidence"})
+
+
+def test_simhash_featureless_docs_not_paired(ray_session):
+    """Blank/whitespace-only docs (signature 0) are skipped before
+    chunk blocking — no hamming-0 all-pairs blowup among them."""
+    from dedupe_api_ray.extras.dedup import simhash_near_dup_pairs
+
+    texts = ["", "   ", None, "\t\n", "real content words here",
+             "real content words here too"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = simhash_near_dup_pairs(ray.data.from_arrow(tbl)).to_pandas()
+    featureless = {0, 1, 2, 3}
+    ids = (set(got["id_a"]) | set(got["id_b"])) if len(got) else set()
+    assert not (ids & featureless)

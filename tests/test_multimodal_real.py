@@ -109,3 +109,24 @@ def test_real_pipeline_over_ray(ray_session):
     m1 = dict(zip(out["media_id"], map(tuple, out["feature"])))
     m2 = dict(zip(out2["media_id"], map(tuple, out2["feature"])))
     assert m1 == m2
+
+
+def test_riff_image_payload_raises_not_implemented():
+    """A RIFF-container IMAGE (e.g. WebP) must not fall into the WAV
+    parser and leak a raw wave.Error: media_type routes first, and any
+    wave.Error is wrapped into NotImplementedError."""
+    import pytest
+
+    from dedupe_api_ray.extras.multimodal import MediaDecoder
+
+    webp_ish = b"RIFF" + (1000).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 64
+    dec = MediaDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec._decode(webp_ish, "image/webp")
+    # unknown media_type + RIFF/WAVE magic still routes to audio
+    from dedupe_api_ray.extras.multimodal import encode_wav
+    import numpy as np
+
+    wav = encode_wav(np.zeros(1600), 16000)
+    feats = dec._decode(wav, "")
+    assert feats.shape[0] > 0
