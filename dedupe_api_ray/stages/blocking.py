@@ -128,40 +128,84 @@ def fingerprint_records(records: ray.data.Dataset, model: Model,
 # ---------------------------------------------------------------------------
 
 
-def _emit_pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-    """One (possibly salted) block group → ordered candidate pairs.
-    For a salted group '…#i.j' with i<j only cross-sub-block pairs are
-    emitted (within-sub pairs come from the (i,i) group), keeping the
-    enumeration lossless."""
-    key = g["block_key"].iloc[0]
-    ids = g["record_id"].to_numpy()
-    if "sub" not in g.columns:  # fast path: nothing was salted
-        members = np.unique(ids)
-        if len(members) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
-        ia, ib = np.triu_indices(len(members), k=1)
-        return pd.DataFrame({"id_a": members[ia], "id_b": members[ib]})
-    sub = g["sub"].to_numpy()
-    if "#" in key:
-        i_s, j_s = key.rsplit("#", 1)[1].split(".")
-        i, j = int(i_s), int(j_s)
-    else:
-        i = j = 0
-    if i == j:
-        members = np.unique(ids[sub == i] if "#" in key else ids)
-        if len(members) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
-        ia, ib = np.triu_indices(len(members), k=1)
-        return pd.DataFrame({"id_a": members[ia], "id_b": members[ib]})
-    left = np.unique(ids[sub == i])
-    right = np.unique(ids[sub == j])
-    if len(left) == 0 or len(right) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": []}, dtype=np.int64)
-    aa = np.repeat(left, len(right))
-    bb = np.tile(right, len(left))
-    lo = np.minimum(aa, bb)
-    hi = np.maximum(aa, bb)
-    return pd.DataFrame({"id_a": lo, "id_b": hi})
+_PAIR_CHUNK = 20_000_000  # max pairs materialized per vectorized gather
+
+
+def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash PARTITION of block keys (many keys per call) → ordered
+    candidate pairs, fully vectorized.
+
+    Replaces the r2 per-block-key ``map_groups`` (one pandas call per
+    key — ~50 µs × hundreds of thousands of keys dominated the pairs
+    stage): keys in the partition are factorized, rows lexsorted by
+    (key, side, id), segment boundaries found once, and pair
+    enumeration batched BY SEGMENT SHAPE — all triangle segments of
+    length k emitted with one ``np.triu_indices(k)`` gather over an
+    (m, k) matrix, all bipartite (salted cross-sub) segments of shape
+    (l, r) with one broadcast product.  Python-level work is
+    O(#distinct segment shapes), not O(#keys).
+
+    ``side``: 0 = triangle member (unsalted key, or the i-rows of a
+    salted '(i, i)' group); for a salted cross group '(i, j)', i < j,
+    rows carry side 0 (record's salt == i) or 1 (== j) and only
+    left×right pairs are emitted — within-sub pairs come from the
+    (i, i) / (j, j) groups, keeping salting lossless."""
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64)})
+    if len(g) == 0:
+        return empty
+    codes, _ = pd.factorize(g["block_key"].to_numpy(), sort=False)
+    ids = g["record_id"].to_numpy().astype(np.int64, copy=False)
+    side = (g["side"].to_numpy().astype(np.int8, copy=False)
+            if "side" in g.columns else np.zeros(len(g), np.int8))
+    order = np.lexsort((ids, side, codes))
+    c, s, i = codes[order], side[order], ids[order]
+    # drop duplicate (key, side, id) rows so segments hold unique ids
+    keep = np.ones(len(c), dtype=bool)
+    keep[1:] = (c[1:] != c[:-1]) | (s[1:] != s[:-1]) | (i[1:] != i[:-1])
+    c, s, i = c[keep], s[keep], i[keep]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    seg_len = np.diff(np.r_[starts, len(c)])
+    n_right = np.add.reduceat(s.astype(np.int64), starts)  # side-1 rows
+    n_left = seg_len - n_right
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+
+    # triangle segments, grouped by length (ids ascend within a
+    # segment, so triu output is already ordered id_a < id_b)
+    tri = np.flatnonzero((n_right == 0) & (seg_len >= 2))
+    for k in np.unique(seg_len[tri]):
+        sel = starts[tri[seg_len[tri] == k]]
+        ia, ib = np.triu_indices(k, k=1)
+        step = max(1, _PAIR_CHUNK // max(1, len(ia)))
+        for lo_ in range(0, len(sel), step):
+            mat = i[sel[lo_:lo_ + step, None] + np.arange(k)[None, :]]
+            out_a.append(mat[:, ia].ravel())
+            out_b.append(mat[:, ib].ravel())
+
+    # bipartite (salted-cross) segments, grouped by (l, r) shape
+    cross = np.flatnonzero((n_right > 0) & (n_left > 0))
+    if len(cross):
+        shape_key = n_left[cross] * (seg_len.max() + 1) + n_right[cross]
+        for sk in np.unique(shape_key):
+            sel_i = cross[shape_key == sk]
+            l, r = int(n_left[sel_i[0]]), int(n_right[sel_i[0]])
+            sel = starts[sel_i]
+            step = max(1, _PAIR_CHUNK // max(1, l * r))
+            for lo_ in range(0, len(sel), step):
+                ss = sel[lo_:lo_ + step]
+                lm = i[ss[:, None] + np.arange(l)[None, :]]
+                rm = i[ss[:, None] + l + np.arange(r)[None, :]]
+                aa = np.broadcast_to(lm[:, :, None],
+                                     (len(ss), l, r)).reshape(-1)
+                bb = np.broadcast_to(rm[:, None, :],
+                                     (len(ss), l, r)).reshape(-1)
+                out_a.append(np.minimum(aa, bb))
+                out_b.append(np.maximum(aa, bb))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b)})
 
 
 def distinct_pairs(pairs: ray.data.Dataset, col_a: str = "id_a",
@@ -253,41 +297,60 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
             sorted(dropped)[:5])
     salt_ref = ray.put((salt_k, dropped))
 
-    def salt(batch: pa.Table) -> pa.Table:
-        ks, dr = ray.get(salt_ref)
-        keys = batch["block_key"].to_pylist()
-        rids = batch["record_id"].to_pylist()
-        o_key: list[str] = []
-        o_rid: list[int] = []
-        o_sub: list[int] = []
-        for key, rid in zip(keys, rids):
-            if key in dr:
-                continue
-            k = ks.get(key)
-            if k is None:
-                o_key.append(key)
-                o_rid.append(rid)
-                o_sub.append(0)
-            else:
-                s = rid % k
-                for t in range(k):
-                    i, j = (s, t) if s <= t else (t, s)
-                    o_key.append(f"{key}#{i}.{j}")
-                    o_rid.append(rid)
-                    o_sub.append(s)
-        return pa.table({"block_key": pa.array(o_key, pa.string()),
-                         "record_id": pa.array(o_rid, pa.int64()),
-                         "sub": pa.array(o_sub, pa.int64())})
-
     from dedupe_api_ray.utils import shuffle_partitions
 
+    n_parts = shuffle_partitions()
+
+    def _part_of(keys: np.ndarray) -> np.ndarray:
+        # deterministic string→partition hash (pandas siphash with the
+        # library-fixed key — stable across processes/runs/platforms)
+        return (pd.util.hash_array(keys, categorize=False)
+                % np.uint64(n_parts)).astype(np.int64)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+        return batch.append_column(
+            "__part", pa.array(_part_of(keys), pa.int64()))
+
+    def salt(batch: pa.Table) -> pa.Table:
+        ks, dr = ray.get(salt_ref)
+        keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+        rids = batch["record_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        ser = pd.Series(keys)
+        hot_mask = ser.isin(ks).to_numpy()
+        drop_mask = (ser.isin(dr).to_numpy() if dr
+                     else np.zeros(len(ser), bool))
+        plain = ~hot_mask & ~drop_mask
+        o_key = [keys[plain]]
+        o_rid = [rids[plain]]
+        o_side = [np.zeros(int(plain.sum()), np.int8)]
+        # Python loop only over HOT rows (rare by construction)
+        for key, rid in zip(keys[hot_mask], rids[hot_mask]):
+            k = ks[key]
+            s = int(rid) % k
+            kk, sd = [], []
+            for t in range(k):
+                i, j = (s, t) if s <= t else (t, s)
+                kk.append(f"{key}#{i}.{j}")
+                sd.append(0 if s == i else 1)
+            o_key.append(np.asarray(kk, dtype=object))
+            o_rid.append(np.full(k, rid, np.int64))
+            o_side.append(np.asarray(sd, np.int8))
+        keys_o = np.concatenate(o_key)
+        return pa.table({"block_key": pa.array(keys_o, pa.string()),
+                         "record_id": pa.array(np.concatenate(o_rid)),
+                         "side": pa.array(np.concatenate(o_side),
+                                          pa.int8()),
+                         "__part": pa.array(_part_of(keys_o), pa.int64())})
+
     if not hot_counts:
-        # no hot keys: skip the salting pass entirely (one fewer full
-        # scan; _emit_pairs_group takes its no-sub fast path)
-        salted = blocking_map
+        # no hot keys: skip the salting pass (one fewer full scan)
+        salted = blocking_map.map_batches(add_part, batch_format="pyarrow")
     else:
         salted = blocking_map.map_batches(salt, batch_format="pyarrow")
-    pairs = salted.groupby("block_key",
-                           num_partitions=shuffle_partitions()).map_groups(
-        _emit_pairs_group, batch_format="pandas")
+    # ONE group per hash partition (not per block key): the vectorized
+    # partition emitter does all per-key work in numpy
+    pairs = salted.groupby("__part", num_partitions=n_parts).map_groups(
+        _emit_pairs_partition, batch_format="pandas")
     return distinct_pairs(pairs)
