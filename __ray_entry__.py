@@ -632,6 +632,65 @@ def _q_flagship_dedupe(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _flagship_docs(sf_dir: str) -> ray.data.Dataset:
+    return _docs(sf_dir).map_batches(
+        lambda t: pa.table({"record_id": t["doc_id"], "text": t["text"],
+                            "source": t["source"]}),
+        batch_format="pyarrow")
+
+
+def _q_flagship_scores(sf_dir: str):
+    """partition()'s scored candidate pairs (the A1 scorer through the
+    REAL pipeline path: normalize → exact-collapse reps → firstToken
+    blocking → salted pairs → TF-sidecar cosine + exact feature → LR
+    sigmoid).  Score is the engine's float32, widened and rounded at
+    6 dp; the oracle recomputes the chain in SQL and applies the same
+    float32 cast so double-precision ulp noise cannot flip a digit."""
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    scored = partition(_flagship_docs(sf_dir), documents_model(),
+                       threshold=0.5, scorer_concurrency=(1, 4),
+                       return_stage="scores")
+    return scored.map_batches(
+        lambda t: pa.table({
+            "id_a": t["id_a"], "id_b": t["id_b"],
+            "score": pc.round(pc.cast(t["score"], pa.float64()), 6)}),
+        batch_format="pyarrow")
+
+
+def _q_flagship_components(sf_dir: str):
+    """partition()'s threshold-edge connected components for EVERY
+    record (dupes rejoin through their collapse rep; singletons label
+    themselves) — the full flagship entity map minus only the
+    per-component hierarchical-clustering cut."""
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    em = partition(_flagship_docs(sf_dir), documents_model(),
+                   threshold=0.5, scorer_concurrency=(1, 4),
+                   return_stage="components")
+    return em.map_batches(
+        lambda t: pa.table({"record_id": t["record_id"],
+                            "component_id": t["cluster_id"]}),
+        batch_format="pyarrow")
+
+
+def _q_dedupe_canon(sf_dir: str):
+    """E1 second-pass dedupe (pipelines/dedupe.py::dedupe_canon):
+    partition → canonicalize clusters → re-partition the canonical
+    records → composed entity map.  Rows-only check (both passes end
+    in the non-SQL hclust cut; the pass-1 intermediates are oracled by
+    flagship_scores / flagship_components)."""
+    from dedupe_api_ray.pipelines.dedupe import dedupe_canon
+
+    final, _canon = dedupe_canon(_flagship_docs(sf_dir),
+                                 documents_model(), threshold=0.5,
+                                 scorer_concurrency=(1, 4))
+    return final.map_batches(
+        lambda t: pa.table({"record_id": t["record_id"],
+                            "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # M1/M3 normalizers + text analysis
@@ -675,6 +734,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_matching": _q_greedy_matching,
         # flagship
         "flagship_dedupe": _q_flagship_dedupe,
+        "flagship_scores": _q_flagship_scores,
+        "flagship_components": _q_flagship_components,
+        "dedupe_canon": _q_dedupe_canon,
     }
 
 
@@ -927,6 +989,69 @@ WITH RECURSIVE vals AS (
 )
 SELECT 'lev:' || CAST(m.c AS VARCHAR) AS block_key, d.doc_id AS record_id
 FROM documents d JOIN amap m ON d.source = m.v"""
+    # flagship intermediates (pipelines/dedupe.py::partition with
+    # return_stage): normalize → exact-collapse reps over (text_norm,
+    # source) → firstToken blocking → pairs → TF-cosine + exact-source
+    # features → sigmoid(10*cos + eq - 8).  The engine scores in
+    # float64 then stores float32 (stages/scoring.py::PairScorer); the
+    # SQL applies the SAME float32 cast before rounding so double-ulp
+    # differences (libm exp, summation order) cannot flip a digit.
+    flagship_cte = f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, {_NORM_SQL} AS tnorm, source FROM documents
+), repmap AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY tnorm, source) AS rid
+  FROM norm
+), rdocs AS (
+  SELECT n.doc_id AS rid, n.tnorm, n.source
+  FROM norm n JOIN (SELECT DISTINCT rid FROM repmap) r ON n.doc_id = r.rid
+), tf AS (
+  SELECT rid, tok, count(*)::DOUBLE AS f
+  FROM (SELECT rid,
+               unnest(regexp_extract_all(tnorm, '{_TOK_PATTERN_SQL_ESC}'))
+                 AS tok
+        FROM rdocs)
+  GROUP BY rid, tok
+), nrm AS (
+  SELECT rid, sqrt(sum(f * f)) AS nn FROM tf GROUP BY rid
+), bm AS (
+  SELECT rid, source, regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') AS ft
+  FROM rdocs WHERE regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') <> ''
+), prs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b,
+         CASE WHEN a.source = b.source THEN 1.0 ELSE 0.0 END AS eq
+  FROM bm a JOIN bm b ON a.ft = b.ft AND a.rid < b.rid
+), dots AS (
+  SELECT p.id_a, p.id_b, sum(ta.f * tb.f) AS dot
+  FROM prs p
+  JOIN tf ta ON ta.rid = p.id_a
+  JOIN tf tb ON tb.rid = p.id_b AND tb.tok = ta.tok
+  GROUP BY p.id_a, p.id_b
+), sc AS (
+  SELECT p.id_a, p.id_b,
+         CAST(1.0 / (1.0 + exp(-(10.0 *
+             LEAST(coalesce(d.dot, 0.0) / (na.nn * nb.nn), 1.0)
+             + 1.0 * p.eq - 8.0))) AS REAL) AS s32
+  FROM prs p
+  LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+  JOIN nrm na ON na.rid = p.id_a
+  JOIN nrm nb ON nb.rid = p.id_b
+)"""
+    flagship_scores_sql = flagship_cte + """
+SELECT id_a, id_b, round(CAST(s32 AS DOUBLE), 6) AS score FROM sc"""
+    flagship_components_sql = flagship_cte + """
+, e0 AS (SELECT id_a AS u, id_b AS v FROM sc WHERE s32 >= 0.5),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+walk(node, lbl) AS (
+  SELECT rid, rid FROM rdocs
+  UNION
+  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
+  WHERE w.lbl < e.v
+), complbl AS (
+  SELECT node AS rid, min(lbl) AS component_id FROM walk GROUP BY node
+)
+SELECT m.doc_id AS record_id, c.component_id
+FROM repmap m JOIN complbl c ON c.rid = m.rid"""
     return {
         "normalize_documents":
             f"SELECT doc_id, {_NORM_SQL} AS text_norm FROM documents",
@@ -1174,7 +1299,11 @@ FROM documents d JOIN amap m ON d.source = m.v"""
         "tfidf_canopy": tfidf_canopy_sql,
         "levenshtein_canopy": lev_canopy_sql,
         "greedy_matching": greedy_sql,
-        # flagship_dedupe: intentionally no SQL oracle (full engine —
-        # LR scoring + hierarchical clustering) → rows-only; its
-        # semantics are covered by the golden-parity F1 tests.
+        # flagship_dedupe: intentionally no SQL oracle (the final
+        # per-component hierarchical-clustering cut is the one
+        # non-SQL-expressible step) → rows-only; its scored pairs and
+        # threshold components ARE oracled below, and the hclust cut
+        # itself is pinned by the golden-parity F1 tests.
+        "flagship_scores": flagship_scores_sql,
+        "flagship_components": flagship_components_sql,
     }

@@ -61,13 +61,24 @@ def partition(records: ray.data.Dataset, model: Model,
               scorer_concurrency: int | tuple = 8,
               cc_mode: str = "auto",
               exact_collapse: bool = True,
-              num_partitions: int | None = None) -> ray.data.Dataset:
+              num_partitions: int | None = None,
+              return_stage: str | None = None) -> ray.data.Dataset:
     """records → entity map (record_id, cluster_id, confidence).
 
     Singletons get cluster_id = record_id, confidence 1.0; cluster_id
     is the min record_id of the cluster (deterministic across
     parallelism — SURVEY.md §4.6).
+
+    ``return_stage`` exposes pipeline intermediates for oracle checks
+    (same code path as the full run, cut short):
+    - "scores": the scored candidate pairs (id_a, id_b, score);
+    - "components": the threshold-edge connected-component map for
+      EVERY record (record_id, cluster_id = component min record id,
+      confidence 1.0) — i.e. the full entity map with the per-component
+      hierarchical-clustering cut replaced by the identity.
     """
+    if return_stage not in (None, "scores", "components"):
+        raise ValueError(f"unknown return_stage: {return_stage!r}")
     import os
     import time as _time
 
@@ -224,8 +235,38 @@ def partition(records: ray.data.Dataset, model: Model,
     scored = ckpt.run_stage("scores", scores_fp, do_score)
     _mark('scores stage defined')
 
-    clustered = cluster_scored_pairs(scored, threshold=threshold,
-                                     cc_mode=cc_mode)
+    if return_stage == "scores":
+        return scored.map_batches(
+            lambda t: t.select(["id_a", "id_b", "score"]),
+            batch_format="pyarrow")
+
+    if return_stage == "components":
+        # same edges as cluster_scored_pairs, but labels pass through
+        # as cluster assignments (no hclust cut) — confidence 1.0
+        from dedupe_api_ray.stages.clustering import connected_components
+        kept = scored.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["score"], threshold)),
+            batch_format="pyarrow").materialize()
+        if kept.count() == 0:
+            clustered = ray.data.from_arrow(pa.table({
+                "record_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+                "confidence": pa.array([], pa.float64())}))
+        else:
+            edges = kept.map_batches(
+                lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
+                batch_format="pyarrow")
+            clustered = connected_components(edges, mode=cc_mode) \
+                .map_batches(
+                    lambda t: pa.table({
+                        "record_id": t["record_id"],
+                        "cluster_id": t["component_id"],
+                        "confidence": pa.array(
+                            np.ones(len(t)), pa.float64())}),
+                    batch_format="pyarrow")
+    else:
+        clustered = cluster_scored_pairs(scored, threshold=threshold,
+                                         cc_mode=cc_mode)
     clustered = clustered.materialize()
     _mark('clustered materialized')
 

@@ -128,3 +128,36 @@ def test_partition_matches_oracle(ray_session, tabular_fixture, trained):
     gold = dict(zip(gold_cols["record_id"], gold_cols["cluster_id"]))
     f1_gold = pairwise_f1(engine_assign, gold)
     assert f1_gold >= 0.9, f"engine-vs-gold pairwise F1 {f1_gold}"
+
+
+def test_partition_return_stage(ray_session, tabular_fixture, trained):
+    """return_stage intermediates are consistent with the full run:
+    every final cluster sits inside one threshold component, and the
+    components are the CC of the >=threshold scored pairs."""
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    records, model = trained
+    ds = ray.data.from_arrow(tabular_fixture["records"])
+    kw = dict(threshold=0.5, max_block_size=50, scorer_concurrency=(1, 2))
+    scored = partition(ds, model, return_stage="scores", **kw).to_pandas()
+    assert set(scored.columns) == {"id_a", "id_b", "score"}
+    assert (scored["id_a"] < scored["id_b"]).all()
+
+    comp = partition(ds, model, return_stage="components", **kw).to_pandas()
+    assert len(comp) == len(records)  # every record labeled
+    comp_of = dict(zip(comp["record_id"], comp["cluster_id"]))
+    # component labels close over the >=0.5 edges
+    for r in scored.itertuples():
+        if r.score >= 0.5:
+            assert comp_of[r.id_a] == comp_of[r.id_b]
+
+    em = partition(ds, model, **kw).to_pandas()
+    cl_of = dict(zip(em["record_id"], em["cluster_id"]))
+    # final clustering refines the components: same cluster -> same comp
+    by_cluster: dict = {}
+    for rid, cid in cl_of.items():
+        by_cluster.setdefault(cid, set()).add(comp_of[rid])
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    with pytest.raises(ValueError):
+        partition(ds, model, return_stage="nope", **kw)
