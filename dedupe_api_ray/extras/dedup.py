@@ -370,13 +370,15 @@ def near_dup_pairs_minhash(docs: ray.data.Dataset, threshold: float = 0.5,
 def jaccard_verify_pairs(cands: ray.data.Dataset, docs: ray.data.Dataset,
                          threshold: float, text_col: str = "text",
                          id_col: str = "doc_id",
-                         broadcast_threshold: int = 2_000_000
+                         broadcast_threshold: int = 2_000_000,
+                         broadcast_max_bytes: int = 1 << 30
                          ) -> ray.data.Dataset:
     """(id_a, id_b) candidates → rows with exact token-set Jaccard >=
-    threshold.  Routes the payload by corpus size: broadcast below
-    ``broadcast_threshold`` docs, two hash joins above (scale path)."""
-    n_docs = docs.count()
-    if n_docs <= broadcast_threshold:
+    threshold.  Routes the payload by corpus size — BYTES first, rows
+    as fallback (utils.should_broadcast): broadcast small corpora, two
+    hash joins above either bound (the 100 TB path)."""
+    from dedupe_api_ray.utils import should_broadcast
+    if should_broadcast(docs, broadcast_threshold, broadcast_max_bytes):
         batches = list(
             docs.map_batches(
                 lambda t: pa.table({"doc_id": t[id_col], "text": t[text_col]}),

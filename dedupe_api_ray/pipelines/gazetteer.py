@@ -83,10 +83,27 @@ def _topn(n: int):
 
 def gazetteer_topn(queries: ray.data.Dataset, canon: ray.data.Dataset,
                    n: int = 2, threshold: float = 0.0,
-                   id_col: str = "doc_id", text_col: str = "text"
-                   ) -> ray.data.Dataset:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   canon_max_rows: int = 2_000_000,
+                   canon_max_bytes: int = 1 << 30) -> ray.data.Dataset:
     """G4 †: per query, the n best canon matches above threshold.
-    Output (query_id, canon_id, jaccard)."""
+    Output (query_id, canon_id, jaccard).
+
+    The canonical set is BROADCAST (one ``ray.put``, an inverted index
+    per actor) — correct only while it is the small side.  A canon set
+    above ``canon_max_rows``/``canon_max_bytes`` fails loudly (the
+    canopy driver_max pattern) instead of silently building a
+    multi-GiB index in every actor; the scale alternative is LSH
+    blocking + jaccard_verify_pairs (extras.dedup) or the sharded
+    TF-IDF search index (blocking.canopy, mode='sharded')."""
+    from dedupe_api_ray.utils import should_broadcast
+    if not should_broadcast(canon, canon_max_rows, canon_max_bytes):
+        raise RuntimeError(
+            f"gazetteer_topn: canonical set exceeds the broadcast bound "
+            f"(rows>{canon_max_rows} or bytes>{canon_max_bytes}); use "
+            "MinHash-LSH blocking + jaccard_verify_pairs "
+            "(dedupe_api_ray.extras.dedup) or the sharded TF-IDF search "
+            "index (blocking.canopy mode='sharded') for a large canon side")
     canon_tbl = pa.concat_tables(list(
         canon.map_batches(
             lambda t: pa.table({"doc_id": t[id_col], "text": t[text_col]}),

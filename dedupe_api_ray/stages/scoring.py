@@ -44,13 +44,18 @@ def _payload_columns(model: Model) -> list[str]:
 
 def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
                    model: Model, num_partitions: int | None = None,
-                   broadcast_threshold: int = 2_000_000) -> ray.data.Dataset:
-    """pairs (id_a, id_b) → pairs with a_<field> / b_<field> columns."""
-    from dedupe_api_ray.utils import default_num_partitions
+                   broadcast_threshold: int = 2_000_000,
+                   broadcast_max_bytes: int = 1 << 30) -> ray.data.Dataset:
+    """pairs (id_a, id_b) → pairs with a_<field> / b_<field> columns.
+
+    Payload routing is by BYTES as well as rows (utils
+    .should_broadcast): a records side past ~1 GiB takes the two-sided
+    hash join even when its row count is modest (wide web documents),
+    so no single ``ray.put`` object can crowd the object store."""
+    from dedupe_api_ray.utils import default_num_partitions, should_broadcast
     num_partitions = default_num_partitions(num_partitions)
     cols = _payload_columns(model)
-    n_records = records.count()
-    if n_records <= broadcast_threshold:
+    if should_broadcast(records, broadcast_threshold, broadcast_max_bytes):
         payload_tbl = pa.concat_tables(
             [b for b in records.select_columns(["record_id", *cols])
              .iter_batches(batch_format="pyarrow", batch_size=65536)]

@@ -34,3 +34,21 @@ def shuffle_partitions(requested: int | None = None) -> int:
     except Exception:
         cpus = 4
     return max(8, cpus * 2)
+
+
+def should_broadcast(ds: "ray.data.Dataset", max_rows: int = 2_000_000,
+                     max_bytes: int = 1 << 30) -> bool:
+    """Small-side payload routing: broadcast (one ``ray.put``, probed
+    in every task) only if the dataset is small by BYTES as well as by
+    rows.  Bytes are the binding constraint — 2M long web pages are
+    several GiB in one object against a default ~30%-of-RAM object
+    store — and the row bound is the fallback when Ray cannot estimate
+    a size for the plan.  Callers fall back to a two-sided hash join
+    when this returns False."""
+    try:
+        nb = ds.size_bytes()
+    except Exception:
+        nb = None
+    if nb is not None and nb > max_bytes:
+        return False
+    return ds.count() <= max_rows

@@ -289,3 +289,46 @@ def test_train_centroids_random_sample_on_sorted_input(ray_session):
     near_b = ((cent @ bm_) > (cent @ am)).sum()
     assert near_b >= 1, "random sample should reach the second cluster"
     assert near_b < len(cent), "and keep the first cluster covered"
+
+
+def test_byte_based_broadcast_routing(ray_session):
+    """r3: wide docs force the join path even below the ROW threshold
+    (should_broadcast routes on bytes first), and results still match
+    the broadcast path exactly."""
+    from dedupe_api_ray.extras.dedup import jaccard_verify_pairs
+    from dedupe_api_ray.utils import should_broadcast
+
+    wide = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array([("tok%d " % (i % 3)) * 4000 for i in range(6)]),
+    })).materialize()
+    assert should_broadcast(wide)                      # ~100 KB: fine
+    assert not should_broadcast(wide, max_bytes=1000)  # byte-bound trips
+
+    cands = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([0, 1, 2], pa.int64()),
+        "id_b": pa.array([3, 4, 5], pa.int64())}))
+    via_join = jaccard_verify_pairs(
+        cands, wide, threshold=0.5,
+        broadcast_max_bytes=1000).to_pandas().sort_values(
+            ["id_a", "id_b"]).reset_index(drop=True)
+    via_bcast = jaccard_verify_pairs(
+        cands, wide, threshold=0.5).to_pandas().sort_values(
+            ["id_a", "id_b"]).reset_index(drop=True)
+    assert via_bcast.equals(via_join)
+    assert len(via_bcast) == 3  # i%3 pairing: (0,3),(1,4),(2,5) identical
+
+
+def test_gazetteer_canon_guard(ray_session):
+    """r3: an oversized canonical side fails loudly instead of being
+    broadcast (canopy driver_max pattern)."""
+    from dedupe_api_ray.pipelines.gazetteer import gazetteer_topn
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array([f"alpha beta {i}" for i in range(10)]),
+    })).materialize()
+    with pytest.raises(RuntimeError, match="broadcast bound"):
+        gazetteer_topn(ds, ds, n=1, canon_max_rows=5)
+    # under the bound: unchanged behavior
+    assert gazetteer_topn(ds, ds, n=1, threshold=0.1).count() > 0
