@@ -121,30 +121,69 @@ def train_centroids(embeddings: ray.data.Dataset, n_centroids: int = 16,
     return cent
 
 
-def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
-             query_ids: np.ndarray, k: int = 5, n_centroids: int = 16,
-             nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding") -> ray.data.Dataset:
-    """Approximate top-k: corpus rows are partitioned by nearest
-    centroid; each query probes only its nprobe closest partitions.
-    At cluster scale the partition assignment is written once as a
-    partitioned Parquet layout and reused across query batches."""
-    cent = train_centroids(embeddings, n_centroids, vec_col=vec_col)
+def ivf_build_index(embeddings: ray.data.Dataset, index_dir: str,
+                    n_centroids: int = 16, vec_col: str = "embedding",
+                    seed: int = 42) -> np.ndarray:
+    """Materialize the IVF layout ONCE: train centroids, assign every
+    row to its nearest centroid, and write the corpus as Parquet
+    partitioned by ``__cent`` (one directory per centroid).  Queries
+    then read ONLY their probed partitions — the partition pruning
+    that makes IVF cheaper than brute force at scale.  Returns the
+    centroid matrix (also persisted to ``<index_dir>/_centroids.npy``
+    so later sessions can query without retraining)."""
+    import os
+
+    cent = train_centroids(embeddings, n_centroids, vec_col=vec_col,
+                           seed=seed)
     cent_ref = ray.put(cent)
+
+    class AssignCentroid:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = _normalize_rows(
+                np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+            assign = np.argmax(vecs @ self.cent.T, axis=1)
+            return batch.append_column(
+                "__cent", pa.array(assign.astype(np.int64)))
+
+    embeddings.map_batches(AssignCentroid, batch_format="pyarrow",
+                           concurrency=(1, 8), num_cpus=1) \
+        .write_parquet(index_dir, partition_cols=["__cent"])
+    np.save(os.path.join(index_dir, "_centroids.npy"), cent)
+    return cent
+
+
+def ivf_topk_indexed(index_dir: str, queries: np.ndarray,
+                     query_ids: np.ndarray, k: int = 5, nprobe: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     metrics: dict | None = None) -> ray.data.Dataset:
+    """Query a materialized IVF index: only the union of the queries'
+    nprobe closest centroid partitions is READ (directory-level
+    pruning — unprobed partitions never leave storage), each probed
+    batch is scored only against the queries that probed its
+    centroid, and the exact per-query top-k falls out of the same
+    grouped reduce as brute force.  ``metrics`` receives
+    probed_partitions / total_partitions."""
+    import os
+
+    cent = np.load(os.path.join(index_dir, "_centroids.npy"))
     qn = _normalize_rows(np.asarray(queries, dtype=np.float64))
     probe_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
-    # query set per centroid
     queries_by_cent: dict[int, list[int]] = {}
     for qi, probes in enumerate(probe_lists):
         for c in probes:
             queries_by_cent.setdefault(int(c), []).append(qi)
-    plan_ref = ray.put({
-        "queries_by_cent": queries_by_cent,
-        "qmat": qn, "qids": np.asarray(query_ids)})
+    plan_ref = ray.put({"queries_by_cent": queries_by_cent,
+                        "qmat": qn, "qids": np.asarray(query_ids)})
 
     class ProbedTopK:
+        """Scores a probed batch against exactly the queries that
+        probed its ``__cent`` value (no assignment recompute — the
+        partition IS the assignment)."""
+
         def __init__(self):
-            self.cent = ray.get(cent_ref)
             plan = ray.get(plan_ref)
             self.by_cent = plan["queries_by_cent"]
             self.qmat = plan["qmat"]
@@ -154,13 +193,14 @@ def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             vecs = _normalize_rows(
                 np.stack(batch[vec_col].to_pylist()).astype(np.float64))
-            assign = np.argmax(vecs @ self.cent.T, axis=1)
+            cents = batch["__cent"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             out_q, out_v, out_s = [], [], []
-            for c in np.unique(assign):
+            for c in np.unique(cents):
                 qlist = self.by_cent.get(int(c))
                 if not qlist:
                     continue
-                rows = np.nonzero(assign == c)[0]
+                rows = np.nonzero(cents == c)[0]
                 sim = self.qmat[qlist] @ vecs[rows].T
                 kk = min(k, sim.shape[1])
                 idx = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
@@ -173,7 +213,67 @@ def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
                              "vec_id": pa.array(out_v, pa.int64()),
                              "score": pa.array(out_s, pa.float64())})
 
-    partials = embeddings.map_batches(ProbedTopK, batch_format="pyarrow",
-                                      concurrency=(1, 8), num_cpus=1)
+    all_parts = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(index_dir)
+        if d.startswith("__cent="))
+    probed = [c for c in all_parts if c in queries_by_cent]
+    if metrics is not None:
+        metrics["probed_partitions"] = len(probed)
+        metrics["total_partitions"] = len(all_parts)
+    if not probed:
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
+    parts = []
+    for c in probed:
+        # per-directory read, centroid re-tagged as int64 from the
+        # path (Ray may or may not surface the hive value, and as a
+        # string when it does) — unprobed directories are never opened
+        def _tag(t: pa.Table, _c=c) -> pa.Table:
+            if "__cent" in t.column_names:
+                t = t.drop_columns(["__cent"])
+            return t.append_column(
+                "__cent", pa.array(np.full(len(t), _c, np.int64)))
+
+        parts.append(
+            ray.data.read_parquet(os.path.join(index_dir, f"__cent={c}"))
+            .map_batches(_tag, batch_format="pyarrow"))
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    partials = ds.map_batches(ProbedTopK, batch_format="pyarrow",
+                              concurrency=(1, 8), num_cpus=1)
     return partials.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas")
+
+
+def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
+             query_ids: np.ndarray, k: int = 5, n_centroids: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", index_dir: str | None = None,
+             metrics: dict | None = None) -> ray.data.Dataset:
+    """Approximate top-k via a materialized IVF layout: builds (or
+    reuses) the partitioned index, then probes only each query's
+    nprobe closest centroid partitions (ivf_topk_indexed).  Pass
+    ``index_dir`` to persist/reuse the layout across query batches —
+    the scale path; without it a throwaway index is built under /tmp
+    for this call."""
+    import os
+    import tempfile
+
+    ephemeral = index_dir is None
+    if ephemeral:
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+    if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+        ivf_build_index(embeddings, index_dir, n_centroids,
+                        vec_col=vec_col)
+    try:
+        return ivf_topk_indexed(index_dir, queries, query_ids, k=k,
+                                nprobe=nprobe, id_col=id_col,
+                                vec_col=vec_col, metrics=metrics)
+    finally:
+        if ephemeral:
+            # results are lazy over the index files: defer cleanup to
+            # process exit, do not delete under a streaming read
+            import atexit
+            import shutil
+            atexit.register(shutil.rmtree, index_dir, ignore_errors=True)

@@ -177,9 +177,39 @@ def test_topk_brute_force_vs_ivf(ray_session):
     q = vecs[:5]
     qids = np.arange(5)
     bf = brute_force_topk(ds, q, qids, k=3).to_pandas()
-    ivf = ivf_topk(ds, q, qids, k=3, n_centroids=4, nprobe=4).to_pandas()
+    m_full = {}
+    ivf = ivf_topk(ds, q, qids, k=3, n_centroids=4, nprobe=4,
+                   metrics=m_full).to_pandas()
     key = lambda df: sorted(zip(df["query_id"], df["vec_id"]))
     assert key(bf) == key(ivf)
+    assert m_full["probed_partitions"] == m_full["total_partitions"]
+
+
+def test_ivf_partition_pruning(ray_session, tmp_path):
+    """r3: the materialized index is probed selectively — with
+    nprobe < n_centroids only the probed partition directories are
+    read, and a reused index answers without rebuilding."""
+    from dedupe_api_ray.extras.similarity import (ivf_build_index,
+                                                  ivf_topk_indexed)
+
+    rng = np.random.RandomState(1)
+    vecs = rng.normal(size=(400, 16))
+    tbl = pa.table({"vec_id": pa.array(range(400), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).materialize()
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, idx, n_centroids=8)
+
+    metrics = {}
+    res = ivf_topk_indexed(idx, vecs[:3], np.arange(3), k=3, nprobe=2,
+                           metrics=metrics).to_pandas()
+    assert metrics["total_partitions"] >= 4
+    assert 0 < metrics["probed_partitions"] < metrics["total_partitions"]
+    assert set(res["query_id"]) == {0, 1, 2}
+    # each query's own vector lives in its top partition: self-match
+    for qi in range(3):
+        assert qi in set(res[res["query_id"] == qi]["vec_id"])
 
 
 def test_gazetteer_and_recordlink(ray_session):
