@@ -452,6 +452,29 @@ def _q_embedding_topk(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_embedding_topk_ivf(sf_dir: str):
+    """IVF top-k through the MATERIALIZED index path (build partitioned
+    layout → probe partition dirs → grouped reduce) with nprobe = all
+    centroids, which is exact — so the same SQL top-k oracle applies.
+    The pruned (nprobe < n_centroids) behavior is covered by
+    tests/test_pipeline_extras.py::test_ivf_partition_pruning (the
+    centroid training is iterative k-means, not SQL-expressible)."""
+    import tempfile
+
+    from dedupe_api_ray.extras.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings")
+    head = emb.filter(lambda r: (10 <= r["vec_id"]) and (r["vec_id"] < 18))
+    qdf = head.to_pandas().sort_values("vec_id")
+    out = ivf_topk(emb, np.stack(qdf["embedding"].to_list()),
+                   qdf["vec_id"].to_numpy(), k=4, n_centroids=8, nprobe=8,
+                   index_dir=tempfile.mkdtemp(prefix="ivf_q_"))
+    return out.map_batches(
+        lambda t: pa.table({"query_id": t["query_id"], "vec_id": t["vec_id"],
+                            "score": pc.round(t["score"], 4)}),
+        batch_format="pyarrow")
+
+
 def _q_embedding_near_dup(sf_dir: str):
     """Exact all-pairs cosine >= 0.35 (single-bucket variant of the LSH
     path so the SQL oracle matches; the bucketed variant is
@@ -727,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gazetteer_topk": _q_gazetteer_topk,
         # similarity search
         "embedding_topk": _q_embedding_topk,
+        "embedding_topk_ivf": _q_embedding_topk_ivf,
         # canopy / levenshtein / greedy (sequential sweeps — oracled
         # via recursive CTEs that replay the pinned sweep order)
         "tfidf_canopy": _q_tfidf_canopy,
@@ -1181,6 +1205,16 @@ FROM repmap m JOIN complbl c ON c.rid = m.rid"""
               FROM embeddings q CROSS JOIN embeddings c
               WHERE q.vec_id < 10
             ) WHERE rn <= 5""",
+        "embedding_topk_ivf": """
+            SELECT query_id, vec_id, round(score, 4) AS score FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS score,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                                                 c.vec_id) AS rn
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id >= 10 AND q.vec_id < 18
+            ) WHERE rn <= 4""",
         "lang_id": f"""
             WITH langs AS (SELECT * FROM (VALUES
                 {_langs_sql}) l(lang, tris, stops)),

@@ -159,11 +159,13 @@ def run_bench() -> dict:
 
     model = bench_model()
     t0 = time.monotonic()
+    part_metrics: dict = {}
     em = partition(
         records.drop_columns(["url", "lang", "warc_ts"]),
         model, threshold=0.5,
         max_block_size=200, hard_cap=2000,
-        scorer_concurrency=(1, NUM_CPUS), exact_collapse=True)
+        scorer_concurrency=(1, NUM_CPUS), exact_collapse=True,
+        metrics=part_metrics)
     em_df = em.to_pandas()
     queries["partition"] = round(time.monotonic() - t0, 2)
     rows["partition"] = len(em_df)
@@ -177,11 +179,12 @@ def run_bench() -> dict:
     from dedupe_api_ray.extras.dedup import lsh_candidate_pairs, minhash_band_rows
 
     t0 = time.monotonic()
+    mh_metrics: dict = {}
     band_rows = minhash_band_rows(
         records.select_columns(["record_id", "text"]),
         num_perm=32, bands=8, text_col="text", id_col="record_id",
         concurrency=(1, NUM_CPUS))
-    cands = lsh_candidate_pairs(band_rows)
+    cands = lsh_candidate_pairs(band_rows, metrics=mh_metrics)
     rows["minhash_dedup"] = cands.count()
     queries["minhash_dedup"] = round(time.monotonic() - t0, 2)
 
@@ -199,6 +202,8 @@ def run_bench() -> dict:
             "queries": queries, "rows": rows,
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "num_cpus": NUM_CPUS, "bench_entities": BENCH_ENTITIES,
+            "blocking_metrics": {
+                "partition": part_metrics, "minhash": mh_metrics},
             "entity_map_hash": em_hash}
 
 

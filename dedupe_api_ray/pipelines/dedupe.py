@@ -62,7 +62,8 @@ def partition(records: ray.data.Dataset, model: Model,
               cc_mode: str = "auto",
               exact_collapse: bool = True,
               num_partitions: int | None = None,
-              return_stage: str | None = None) -> ray.data.Dataset:
+              return_stage: str | None = None,
+              metrics: dict | None = None) -> ray.data.Dataset:
     """records → entity map (record_id, cluster_id, confidence).
 
     Singletons get cluster_id = record_id, confidence 1.0; cluster_id
@@ -215,7 +216,8 @@ def partition(records: ray.data.Dataset, model: Model,
     _mark('blocking_map stage defined')
 
     pairs_fp = fingerprint_of(blocking_fp, "pairs", max_block_size, hard_cap)
-    pair_metrics: dict = {}
+    # caller-visible blocking observability (dropped/salted keys)
+    pair_metrics: dict = metrics if metrics is not None else {}
     pairs = ckpt.run_stage(
         "pairs", pairs_fp,
         lambda: candidate_pairs(blocking_map, max_block_size=max_block_size,
