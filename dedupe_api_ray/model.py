@@ -159,8 +159,10 @@ class DataModel:
         col = 0
         nan_mask: dict[str, np.ndarray] = {}
         for f in self._base:
-            a = recs_a[f.field]
-            b = recs_b[f.field]
+            # .get: a Text field whose distance arrives precomputed
+            # (TF-sidecar cosine) ships no raw column with the pairs
+            a = recs_a.get(f.field)
+            b = recs_b.get(f.field)
             if f.type in ("String", "ShortString"):
                 d = kernels.normalized_affine_gap_batch(a, b)
                 x[:, col] = d
@@ -170,6 +172,12 @@ class DataModel:
                 if precomputed is not None and f.field in precomputed:
                     d = precomputed[f.field]
                 else:
+                    if a is None or b is None:
+                        raise ValueError(
+                            f"Text field {f.field!r} has neither a raw "
+                            "column nor a precomputed distance — it was "
+                            "excluded from the pair payload without a "
+                            "TF sidecar")
                     ta = recs_a.get(f"{f.field}__tokens")
                     tb = recs_b.get(f"{f.field}__tokens")
                     if ta is None:

@@ -150,17 +150,37 @@ def partition(records: ray.data.Dataset, model: Model,
         reps = hashed.groupby("row_hash").min(id_col)
         reps = reps.map_batches(
             lambda t: t.rename_columns(["row_hash", "rep_id"]),
-            batch_format="pyarrow")
-        joined = hashed.join(reps, join_type="inner",
-                             num_partitions=num_partitions, on=("row_hash",))
-        # Ray 2.49 joins emit SCHEMA-LESS empty blocks for hash
-        # partitions that received no rows (degenerate/skewed key
-        # distributions), and map UDFs are SKIPPED on empty blocks, so
-        # no map can re-type them — any later join over such a block
-        # dies with "No match ... FieldRef".  repartition (coalesce
-        # mode: linear block split/merge, NOT an all-to-all) folds the
-        # empties into typed blocks.
-        joined = joined.repartition(num_partitions).materialize()
+            batch_format="pyarrow").materialize()
+        from dedupe_api_ray.utils import should_broadcast
+        if should_broadcast(reps):
+            # small rep map: annotate map-side (one ray.put, dict probe
+            # per batch) instead of shuffling the full text payload
+            # through a string-keyed hash join
+            rep_tbl = pa.concat_tables(list(reps.iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20)))
+            rep_ref = ray.put(dict(zip(
+                rep_tbl["row_hash"].to_pylist(),
+                rep_tbl["rep_id"].to_pylist())))
+
+            def annotate(t: pa.Table) -> pa.Table:
+                lut = ray.get(rep_ref)
+                rid = [lut[h] for h in t["row_hash"].to_pylist()]
+                return t.append_column("rep_id", pa.array(rid, pa.int64()))
+
+            joined = hashed.map_batches(
+                annotate, batch_format="pyarrow").materialize()
+        else:
+            joined = hashed.join(reps, join_type="inner",
+                                 num_partitions=num_partitions,
+                                 on=("row_hash",))
+            # Ray 2.49 joins emit SCHEMA-LESS empty blocks for hash
+            # partitions that received no rows (degenerate/skewed key
+            # distributions), and map UDFs are SKIPPED on empty blocks,
+            # so no map can re-type them — any later join over such a
+            # block dies with "No match ... FieldRef".  repartition
+            # (coalesce mode: linear block split/merge, NOT an
+            # all-to-all) folds the empties into typed blocks.
+            joined = joined.repartition(num_partitions).materialize()
         _mark("collapse join materialized")
         jschema_obj = joined.schema()
         if jschema_obj is None or not jschema_obj.names:
@@ -227,8 +247,18 @@ def partition(records: ray.data.Dataset, model: Model,
     def do_score():
         from dedupe_api_ray.stages.scoring import build_tf_sidecar
         sidecar = build_tf_sidecar(fuzzy_input, model)
+        # Text fields whose cosine comes from the sidecar ship NO raw
+        # column with the pairs (a field also used by a non-Text,
+        # non-Interaction def still ships for that kernel).  Without
+        # this the payload stage multiplies the corpus text by
+        # pairs-per-record through the object store — the dominant
+        # partition() cost at web-page sizes.
+        sidecar_only = set(sidecar or ()) - {
+            f.field for f in model.field_defs
+            if f.type not in ("Text", "Interaction")}
         with_payload = attach_payload(pairs, fuzzy_input, model,
-                                      num_partitions=num_partitions)
+                                      num_partitions=num_partitions,
+                                      exclude_fields=sidecar_only)
         return score_pairs(with_payload, model,
                            concurrency=scorer_concurrency,
                            sidecar_refs=sidecar)

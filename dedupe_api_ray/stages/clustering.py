@@ -169,35 +169,35 @@ def connected_components_distributed(edges: ray.data.Dataset,
 
 
 def connected_components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Small-edge-set fast path: numpy union-find on the driver
-    (reference behavior †, kept for modest candidate counts)."""
+    """Small-edge-set fast path on the driver: vectorized min-label
+    propagation with pointer jumping (Shiloach-Vishkin shape) instead
+    of a Python-loop union-find — the loop cost at ~1M edges was
+    seconds of single-threaded find() chasing.  Each round every edge
+    pulls both endpoints to their min label (np.minimum.at), then
+    labels are compressed by repeated ``labels = labels[labels]``;
+    converges in O(log n) rounds, all O(E) numpy."""
     tbl = pa.concat_tables(list(edges.select_columns(["u", "v"])
                                 .iter_batches(batch_format="pyarrow",
                                               batch_size=1 << 20)))
     u = tbl["u"].to_numpy(zero_copy_only=False)
     v = tbl["v"].to_numpy(zero_copy_only=False)
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
-    parent = np.arange(len(nodes))
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
     iu, iv = inv[: len(u)], inv[len(u):]
-    for a, b in zip(iu, iv):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    roots = np.array([find(i) for i in range(len(nodes))])
-    # component label = min record_id in component: nodes sorted asc so
-    # the root index reached by min-id union is already the min node.
-    comp = nodes[roots]
+    labels = np.arange(len(nodes))
+    while True:
+        m = np.minimum(labels[iu], labels[iv])
+        np.minimum.at(labels, iu, m)
+        np.minimum.at(labels, iv, m)
+        while True:  # pointer jumping to the current roots
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(labels[iu], labels[iv]):
+            break
+    # label = min node index in component; nodes sorted asc, so the
+    # component label maps to the min record_id.
+    comp = nodes[labels]
     return ray.data.from_arrow(pa.table({
         "record_id": pa.array(nodes, pa.int64()),
         "component_id": pa.array(comp, pa.int64()),
@@ -205,8 +205,15 @@ def connected_components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def connected_components(edges: ray.data.Dataset, mode: str = "auto",
-                         driver_limit: int = 2_000_000) -> ray.data.Dataset:
-    """edges dataset with columns (u, v)."""
+                         driver_limit: int = 20_000_000) -> ray.data.Dataset:
+    """edges dataset with columns (u, v).
+
+    ``driver_limit``: max edges for the driver fast path — 20M edges
+    is ~320 MB of int64 pairs plus the np.unique working set, well
+    within a head node's heap, and the vectorized label propagation
+    handles it in seconds where the distributed large/small-star path
+    pays several shuffle rounds.  Beyond it (true web-scale candidate
+    graphs) the distributed path takes over."""
     if mode == "driver":
         return connected_components_driver(edges)
     if mode == "distributed":
@@ -304,72 +311,131 @@ def cut_tree_np(n: int, merges: list[tuple[int, int, float, int]],
     return labels
 
 
+def _cluster_component_arrays(ids_a: np.ndarray, ids_b: np.ndarray,
+                              scores: np.ndarray, threshold: float,
+                              max_cluster_size: int
+                              ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One connected component of scored edges → (record_id,
+    cluster_id, confidence) arrays.  numpy in/out so the partition
+    kernel pays no pandas construction per component."""
+    nodes = np.unique(np.concatenate([ids_a, ids_b]))
+    n = len(nodes)
+    if n == 2:
+        s = np.float64(scores[0])
+        return (nodes.astype(np.int64),
+                np.full(2, nodes[0], np.int64),
+                np.full(2, s, np.float64))
+    ia = np.searchsorted(nodes, ids_a)
+    ib = np.searchsorted(nodes, ids_b)
+    if n > max_cluster_size:
+        # oversized component: transitive closure only (§4.3)
+        cid = int(nodes[0])
+        d2 = (1.0 - scores) ** 2
+        ssum = np.zeros(n)
+        cnt = np.zeros(n)
+        np.add.at(ssum, ia, d2)
+        np.add.at(ssum, ib, d2)
+        np.add.at(cnt, ia, 1)
+        np.add.at(cnt, ib, 1)
+        miss = (n - 1) - cnt
+        conf = 1.0 - np.sqrt((ssum + miss) / (n - 1))
+        return (nodes.astype(np.int64), np.full(n, cid, np.int64), conf)
+    d2 = np.ones((n, n), dtype=np.float64)  # missing pairs = 1 †
+    d2[ia, ib] = (1.0 - scores) ** 2
+    d2[ib, ia] = (1.0 - scores) ** 2
+    np.fill_diagonal(d2, 0.0)
+    merges = centroid_linkage_np(d2)
+    labels = cut_tree_np(n, merges, 1.0 - threshold)
+    out_rid = np.empty(n, np.int64)
+    out_cid = np.empty(n, np.int64)
+    out_conf = np.empty(n, np.float64)
+    pos = 0
+    for lab in np.unique(labels):
+        members = np.nonzero(labels == lab)[0]
+        k = len(members)
+        if k < 2:
+            rid = int(nodes[members[0]])
+            out_rid[pos] = rid
+            out_cid[pos] = rid
+            out_conf[pos] = 1.0
+            pos += 1
+            continue
+        cid = int(nodes[members].min())
+        sub = d2[np.ix_(members, members)]
+        mean_sq = sub.sum(axis=1) / (k - 1)
+        out_rid[pos:pos + k] = nodes[members]
+        out_cid[pos:pos + k] = cid
+        out_conf[pos:pos + k] = 1.0 - np.sqrt(mean_sq)
+        pos += k
+    return out_rid, out_cid, out_conf
+
+
 class ComponentClusterer:
-    """map_groups kernel: one connected component of scored edges →
-    (record_id, cluster_id, confidence) rows."""
+    """Kernel: one connected component of scored edges →
+    (record_id, cluster_id, confidence) rows (pandas wrapper around
+    _cluster_component_arrays, kept for direct callers/tests)."""
 
     def __init__(self, threshold: float, max_cluster_size: int = 1000):
         self.threshold = threshold
         self.max_cluster_size = max_cluster_size
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        ids_a = g["id_a"].to_numpy()
-        ids_b = g["id_b"].to_numpy()
-        scores = g["score"].to_numpy().astype(np.float64)
-        nodes = np.unique(np.concatenate([ids_a, ids_b]))
-        n = len(nodes)
-        if n == 2:
-            s = float(scores[0])
-            cid = int(nodes[0])
-            return pd.DataFrame({"record_id": nodes.astype(np.int64),
-                                 "cluster_id": np.int64(cid),
-                                 "confidence": np.float64(s)})
-        ia = np.searchsorted(nodes, ids_a)
-        ib = np.searchsorted(nodes, ids_b)
-        if n > self.max_cluster_size:
-            # oversized component: transitive closure only (§4.3)
-            cid = int(nodes[0])
-            conf = np.full(n, np.nan)
-            d2 = (1.0 - scores) ** 2
-            ssum = np.zeros(n)
-            cnt = np.zeros(n)
-            np.add.at(ssum, ia, d2)
-            np.add.at(ssum, ib, d2)
-            np.add.at(cnt, ia, 1)
-            np.add.at(cnt, ib, 1)
-            miss = (n - 1) - cnt
-            conf = 1.0 - np.sqrt((ssum + miss) / (n - 1))
-            return pd.DataFrame({"record_id": nodes.astype(np.int64),
-                                 "cluster_id": np.int64(cid),
-                                 "confidence": conf})
-        d2 = np.ones((n, n), dtype=np.float64)  # missing pairs = 1 †
-        d2[ia, ib] = (1.0 - scores) ** 2
-        d2[ib, ia] = (1.0 - scores) ** 2
-        np.fill_diagonal(d2, 0.0)
-        merges = centroid_linkage_np(d2)
-        labels = cut_tree_np(n, merges, 1.0 - self.threshold)
-        out_rid: list[int] = []
-        out_cid: list[int] = []
-        out_conf: list[float] = []
-        for lab in np.unique(labels):
-            members = np.nonzero(labels == lab)[0]
-            if len(members) < 2:
-                rid = int(nodes[members[0]])
-                out_rid.append(rid)
-                out_cid.append(rid)
-                out_conf.append(1.0)
-                continue
-            cid = int(nodes[members].min())
-            sub = d2[np.ix_(members, members)]
-            mean_sq = sub.sum(axis=1) / (len(members) - 1)
-            conf = 1.0 - np.sqrt(mean_sq)
-            for mi, m in enumerate(members):
-                out_rid.append(int(nodes[m]))
-                out_cid.append(cid)
-                out_conf.append(float(conf[mi]))
-        return pd.DataFrame({"record_id": np.array(out_rid, dtype=np.int64),
-                             "cluster_id": np.array(out_cid, dtype=np.int64),
-                             "confidence": np.array(out_conf)})
+        rid, cid, conf = _cluster_component_arrays(
+            g["id_a"].to_numpy(), g["id_b"].to_numpy(),
+            g["score"].to_numpy().astype(np.float64),
+            self.threshold, self.max_cluster_size)
+        return pd.DataFrame({"record_id": rid, "cluster_id": cid,
+                             "confidence": conf})
+
+
+def _cluster_partition(g: pd.DataFrame, threshold: float,
+                       max_cluster_size: int) -> pd.DataFrame:
+    """One hash PARTITION of components (many components per call) →
+    entity rows.  Replaces per-component ``map_groups`` (one pandas
+    UDF call per component — ~1 ms × 10^5 tiny components dominated
+    the clustering stage): components are segmented by one argsort,
+    single-edge components (the vast majority under tight blocking)
+    are emitted with one vectorized gather, and only multi-edge
+    components run the linkage kernel, on numpy slices."""
+    empty = pd.DataFrame({"record_id": pd.Series(dtype=np.int64),
+                          "cluster_id": pd.Series(dtype=np.int64),
+                          "confidence": pd.Series(dtype=np.float64)})
+    if len(g) == 0:
+        return empty
+    comp = g["component_id"].to_numpy()
+    ia = g["id_a"].to_numpy().astype(np.int64, copy=False)
+    ib = g["id_b"].to_numpy().astype(np.int64, copy=False)
+    sc = g["score"].to_numpy().astype(np.float64)
+    order = np.argsort(comp, kind="stable")
+    comp, ia, ib, sc = comp[order], ia[order], ib[order], sc[order]
+    starts = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1]])
+    lens = np.diff(np.r_[starts, len(comp)])
+    out_r: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    out_f: list[np.ndarray] = []
+    single = starts[lens == 1]
+    if len(single):
+        # one edge → two nodes; pairs are ordered (id_a < id_b), so
+        # cluster_id = id_a and confidence = the pair score — exactly
+        # the n == 2 branch of _cluster_component_arrays
+        out_r.append(ia[single])
+        out_c.append(ia[single])
+        out_f.append(sc[single])
+        out_r.append(ib[single])
+        out_c.append(ia[single])
+        out_f.append(sc[single])
+    for s, length in zip(starts[lens > 1], lens[lens > 1]):
+        rid, cid, conf = _cluster_component_arrays(
+            ia[s:s + length], ib[s:s + length], sc[s:s + length],
+            threshold, max_cluster_size)
+        out_r.append(rid)
+        out_c.append(cid)
+        out_f.append(conf)
+    if not out_r:
+        return empty
+    return pd.DataFrame({"record_id": np.concatenate(out_r),
+                         "cluster_id": np.concatenate(out_c),
+                         "confidence": np.concatenate(out_f)})
 
 
 def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
@@ -378,10 +444,21 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
     """scored (id_a, id_b, score) → entity rows (record_id, cluster_id,
     confidence) for all records appearing in an above-threshold edge.
     Caller adds singletons (records with no retained edge)."""
+    import os
+    import time as _time
+    _debug = bool(os.environ.get("DEDUPE_DEBUG_TIMING"))
+    _t0 = _time.monotonic()
+
+    def _mark(label: str) -> None:
+        if _debug:
+            print(f"[cluster {_time.monotonic() - _t0:7.1f}s] {label}",
+                  flush=True)
+
     kept = scored.map_batches(
         lambda t: t.filter(pc.greater_equal(t["score"], threshold)),
         batch_format="pyarrow")
     kept = kept.materialize()
+    _mark(f"kept edges={kept.count()}")
     if kept.count() == 0:
         # empty datasets lose their schema through joins (Ray 2.49):
         # short-circuit to an empty, correctly-typed entity fragment
@@ -393,6 +470,9 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
         lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
         batch_format="pyarrow")
     labels = connected_components(edges, mode=cc_mode)
+    if _debug:
+        labels = labels.materialize()
+        _mark(f"components labelled rows={labels.count()}")
     # attach component to each edge via join on id_a (id_a's component
     # == id_b's component for retained edges)
     labels_renamed = labels.map_batches(
@@ -402,15 +482,26 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
     with_comp = kept.join(labels_renamed, join_type="inner",
                           num_partitions=default_num_partitions(),
                           on=("id_a",))
-    clusterer = ComponentClusterer(threshold, max_cluster_size)
 
-    def cluster_component(g: pd.DataFrame) -> pd.DataFrame:
-        return clusterer(g)
-
+    # ONE group per component-hash partition, not per component: the
+    # partition kernel segments components in numpy (see
+    # _cluster_partition) — same results, no per-group UDF overhead
     from dedupe_api_ray.utils import shuffle_partitions
-    return with_comp.groupby("component_id",
-                             num_partitions=shuffle_partitions()).map_groups(
-        cluster_component, batch_format="pandas")
+    n_parts = shuffle_partitions()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        c = t["component_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = ((c * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__part", pa.array(part, pa.int64()))
+
+    def cluster_part(g: pd.DataFrame) -> pd.DataFrame:
+        return _cluster_partition(g, threshold, max_cluster_size)
+
+    return with_comp.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("__part", num_partitions=n_parts) \
+        .map_groups(cluster_part, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -27,34 +27,51 @@ import ray.data
 from dedupe_api_ray.model import Model
 
 
-def _payload_columns(model: Model) -> list[str]:
+def _payload_columns(model: Model,
+                     exclude: set[str] | frozenset = frozenset()
+                     ) -> list[str]:
     """Columns shipped with each pair.  Token list columns are NOT
     shipped: converting list<string> Arrow columns to Python per batch
     dominated scoring cost, and the scorer's per-record TF cache makes
     re-tokenizing on (rare) cache misses cheaper than shipping tokens
-    with every pair."""
+    with every pair.
+
+    ``exclude`` drops fields whose distance the scorer computes from
+    the TF sidecar (Text cosine): shipping the raw value with every
+    pair multiplies the corpus text by pairs-per-record through the
+    object store — at 237k web pages / 16.7M candidate pairs the
+    attach stage spent 344 s spilling ~23 GiB of never-read
+    a_text/b_text columns."""
     cols: list[str] = []
     for f in model.field_defs:
         if f.type == "Interaction":
             continue
         cols.append(f.field)
     seen: set[str] = set()
-    return [c for c in cols if not (c in seen or seen.add(c))]
+    return [c for c in cols
+            if c not in exclude and not (c in seen or seen.add(c))]
 
 
 def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
                    model: Model, num_partitions: int | None = None,
                    broadcast_threshold: int = 2_000_000,
-                   broadcast_max_bytes: int = 1 << 30) -> ray.data.Dataset:
+                   broadcast_max_bytes: int = 1 << 30,
+                   exclude_fields: set[str] | frozenset = frozenset()
+                   ) -> ray.data.Dataset:
     """pairs (id_a, id_b) → pairs with a_<field> / b_<field> columns.
 
     Payload routing is by BYTES as well as rows (utils
     .should_broadcast): a records side past ~1 GiB takes the two-sided
     hash join even when its row count is modest (wide web documents),
-    so no single ``ray.put`` object can crowd the object store."""
+    so no single ``ray.put`` object can crowd the object store.
+
+    ``exclude_fields``: fields whose distances come from the TF
+    sidecar — their raw values are never read by the scorer, so they
+    must not be multiplied by pairs-per-record here (see
+    _payload_columns)."""
     from dedupe_api_ray.utils import default_num_partitions, should_broadcast
     num_partitions = default_num_partitions(num_partitions)
-    cols = _payload_columns(model)
+    cols = _payload_columns(model, exclude=exclude_fields)
     if should_broadcast(records, broadcast_threshold, broadcast_max_bytes):
         payload_tbl = pa.concat_tables(
             [b for b in records.select_columns(["record_id", *cols])
@@ -248,7 +265,7 @@ class PairScorer:
         self.model: Model = ray.get(model_ref) if isinstance(
             model_ref, ray.ObjectRef) else model_ref
         self.dm = self.model.data_model()
-        self.cols = _payload_columns(self.model)
+        self.cols = _payload_columns(self.model)  # batch may lack some
         self.text_fields = [f.field for f in self.model.field_defs
                             if f.type == "Text"]
         self._tf_cache: dict[tuple[str, int], tuple] = {}
