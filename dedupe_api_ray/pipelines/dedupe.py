@@ -145,30 +145,52 @@ def partition(records: ray.data.Dataset, model: Model,
         hashed = add_row_hash(prepared, fields)
         hashed = hashed.materialize()
         _mark("hashed materialized")
-        # representative = min record_id per full-128-bit hash (native
-        # single-key aggregate — see add_row_hash collision bound)
-        reps = hashed.groupby("row_hash").min(id_col)
-        reps = reps.map_batches(
-            lambda t: t.rename_columns(["row_hash", "rep_id"]),
-            batch_format="pyarrow").materialize()
+        # representative = min record_id per full-128-bit hash (see
+        # add_row_hash collision bound)
         from dedupe_api_ray.utils import should_broadcast
-        if should_broadcast(reps):
-            # small rep map: annotate map-side (one ray.put, dict probe
-            # per batch) instead of shuffling the full text payload
-            # through a string-keyed hash join
-            rep_tbl = pa.concat_tables(list(reps.iter_batches(
-                batch_format="pyarrow", batch_size=1 << 20)))
-            rep_ref = ray.put(dict(zip(
-                rep_tbl["row_hash"].to_pylist(),
-                rep_tbl["rep_id"].to_pylist())))
 
-            def annotate(t: pa.Table) -> pa.Table:
-                lut = ray.get(rep_ref)
-                rid = [lut[h] for h in t["row_hash"].to_pylist()]
-                return t.append_column("rep_id", pa.array(rid, pa.int64()))
+        def annotate(t: pa.Table, _ref) -> pa.Table:
+            lut = ray.get(_ref)
+            rid = [lut[h] for h in t["row_hash"].to_pylist()]
+            return t.append_column("rep_id", pa.array(rid, pa.int64()))
 
+        rep_ref = None
+        if hashed.count() <= 5_000_000:
+            # modest corpus: the NARROW (row_hash, id) projection fits
+            # the driver (≤ ~200 MB) — one vectorized Arrow group_by
+            # there beats a shuffle groupby whose aggregator-actor pool
+            # startup alone costs multiple seconds
+            nbatches = list(
+                hashed.select_columns(["row_hash", id_col])
+                .iter_batches(batch_format="pyarrow",
+                              batch_size=1 << 20))
+            if nbatches:
+                narrow = pa.concat_tables(nbatches)
+                g = narrow.group_by("row_hash").aggregate(
+                    [(id_col, "min")])
+                rep_ref = ray.put(dict(zip(
+                    g["row_hash"].to_pylist(),
+                    g[f"{id_col}_min"].to_pylist())))
+            else:  # typed-empty input: nothing to collapse
+                rep_ref = ray.put({})
+        else:
+            reps = hashed.groupby("row_hash").min(id_col)
+            reps = reps.map_batches(
+                lambda t: t.rename_columns(["row_hash", "rep_id"]),
+                batch_format="pyarrow").materialize()
+            if should_broadcast(reps):
+                rep_tbl = pa.concat_tables(list(reps.iter_batches(
+                    batch_format="pyarrow", batch_size=1 << 20)))
+                rep_ref = ray.put(dict(zip(
+                    rep_tbl["row_hash"].to_pylist(),
+                    rep_tbl["rep_id"].to_pylist())))
+        if rep_ref is not None:
+            # annotate map-side (one ray.put, dict probe per batch)
+            # instead of shuffling the full text payload through a
+            # string-keyed hash join
             joined = hashed.map_batches(
-                annotate, batch_format="pyarrow").materialize()
+                annotate, fn_kwargs={"_ref": rep_ref},
+                batch_format="pyarrow").materialize()
         else:
             joined = hashed.join(reps, join_type="inner",
                                  num_partitions=num_partitions,
@@ -305,7 +327,8 @@ def partition(records: ray.data.Dataset, model: Model,
     # singletons: records with no above-threshold edge.  These joins
     # run over row counts ~= the record count, so size their partition
     # count by DATA, not CPUs — join aggregator-actor startup dominates
-    # small joins otherwise.
+    # small joins otherwise; small sides broadcast instead of joining.
+    from dedupe_api_ray.utils import should_broadcast
     n_fuzzy = fuzzy_input.count()
     np_small = max(2, min(num_partitions, n_fuzzy // 100_000 + 2))
     all_ids = fuzzy_input.select_columns([id_col])
@@ -317,6 +340,34 @@ def partition(records: ray.data.Dataset, model: Model,
                 "record_id": t[id_col], "cluster_id": t[id_col],
                 "confidence": pa.array(np.ones(len(t)), pa.float64())}),
             batch_format="pyarrow").materialize()
+    elif should_broadcast(clustered):
+        # small cluster map: broadcast + searchsorted annotate, no
+        # left-outer join (which spawns an aggregator pool and can emit
+        # schema-less empty partitions — see the collapse-join note)
+        ctbl = pa.concat_tables(list(clustered.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        cr = ctbl["record_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(cr, kind="stable")
+        clu_ref = ray.put((cr[order],
+                           ctbl["cluster_id"].to_numpy(
+                               zero_copy_only=False)[order],
+                           ctbl["confidence"].to_numpy(
+                               zero_copy_only=False)[order]))
+
+        def fill_bcast(batch: pa.Table) -> pa.Table:
+            r, c, f = ray.get(clu_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(r, ids), len(r) - 1)
+            hit = r[pos] == ids
+            cid = np.where(hit, c[pos], ids)
+            conf = np.where(hit, f[pos], 1.0)
+            return pa.table({
+                "record_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "confidence": pa.array(conf, pa.float64())})
+
+        entity_map = all_ids.map_batches(
+            fill_bcast, batch_format="pyarrow").materialize()
     else:
         assigned = clustered.map_batches(
             lambda t: t.rename_columns(["__rid", "cluster_id", "confidence"]),
@@ -355,19 +406,42 @@ def partition(records: ray.data.Dataset, model: Model,
 
     if exact_collapse and dupes_map is not None and dupes_map.count() > 0:
         # duplicates rejoin with their representative's cluster (M5 †);
-        # confidence 1.0 (byte-identical content).
-        rep_assign = entity_map.map_batches(
-            lambda t: t.rename_columns(["rep_id", "cluster_id", "confidence"]),
-            batch_format="pyarrow")
-        dup_rows = dupes_map.join(rep_assign, join_type="inner",
-                                  num_partitions=np_small,
-                                  on=("rep_id",))
-        dup_rows = dup_rows.map_batches(
-            lambda t: pa.table({
-                "record_id": t[id_col],
-                "cluster_id": t["cluster_id"],
-                "confidence": pa.array(np.ones(len(t)), pa.float64()),
-            }), batch_format="pyarrow")
+        # confidence 1.0 (byte-identical content).  Size-routed like
+        # the other small-side lookups.
+        if should_broadcast(entity_map):
+            etbl = pa.concat_tables(list(entity_map.iter_batches(
+                batch_format="pyarrow", batch_size=1 << 20)))
+            er = etbl["record_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(er, kind="stable")
+            em_ref = ray.put((er[order],
+                              etbl["cluster_id"].to_numpy(
+                                  zero_copy_only=False)[order]))
+
+            def dup_lookup(t: pa.Table) -> pa.Table:
+                r, c = ray.get(em_ref)
+                reps_ids = t["rep_id"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(r, reps_ids)  # every rep is mapped
+                return pa.table({
+                    "record_id": t[id_col],
+                    "cluster_id": pa.array(c[pos], pa.int64()),
+                    "confidence": pa.array(np.ones(len(t)), pa.float64())})
+
+            dup_rows = dupes_map.map_batches(dup_lookup,
+                                             batch_format="pyarrow")
+        else:
+            rep_assign = entity_map.map_batches(
+                lambda t: t.rename_columns(
+                    ["rep_id", "cluster_id", "confidence"]),
+                batch_format="pyarrow")
+            dup_rows = dupes_map.join(rep_assign, join_type="inner",
+                                      num_partitions=np_small,
+                                      on=("rep_id",))
+            dup_rows = dup_rows.map_batches(
+                lambda t: pa.table({
+                    "record_id": t[id_col],
+                    "cluster_id": t["cluster_id"],
+                    "confidence": pa.array(np.ones(len(t)), pa.float64()),
+                }), batch_format="pyarrow")
         entity_map = entity_map.union(dup_rows)
 
     if ckpt_dir:

@@ -274,13 +274,32 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         return pa.table({"block_key": g["block_key"],
                          "cnt": g["record_id_count"]})
 
-    counts = blocking_map.map_batches(local_counts, batch_format="pyarrow") \
-        .groupby("block_key").aggregate(Sum("cnt", alias_name="cnt"))
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["cnt"], max_block_size)),
-        batch_format="pyarrow").to_pandas()
-    hot_counts: dict[str, int] = ({} if hot.empty else
-                                  dict(zip(hot["block_key"], hot["cnt"])))
+    partials = blocking_map.map_batches(local_counts,
+                                        batch_format="pyarrow")
+    if blocking_map.count() <= 20_000_000:
+        # modest blocking map: finish the count on the driver — the
+        # partials are ≤ one narrow row per (key, batch), and a
+        # shuffle groupby pays an aggregator-pool startup that dwarfs
+        # summing a few MB of partials in Arrow
+        pbatches = list(partials.iter_batches(batch_format="pyarrow",
+                                              batch_size=1 << 20))
+        ptbl = (pa.concat_tables(pbatches) if pbatches else
+                pa.table({"block_key": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())}))
+        g = ptbl.group_by("block_key").aggregate([("cnt", "sum")])
+        mask = pc.greater(g["cnt_sum"], max_block_size)
+        hot_tbl = g.filter(mask)
+        hot_counts: dict[str, int] = dict(zip(
+            hot_tbl["block_key"].to_pylist(),
+            hot_tbl["cnt_sum"].to_pylist()))
+    else:
+        counts = partials.groupby("block_key") \
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        hot = counts.map_batches(
+            lambda t: t.filter(pc.greater(t["cnt"], max_block_size)),
+            batch_format="pyarrow").to_pandas()
+        hot_counts = ({} if hot.empty else
+                      dict(zip(hot["block_key"], hot["cnt"])))
     dropped = {k for k, c in hot_counts.items() if c > hard_cap}
     salt_k = {k: math.ceil(c / max_block_size)
               for k, c in hot_counts.items() if k not in dropped}

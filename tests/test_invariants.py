@@ -79,3 +79,96 @@ def test_kernel_symmetry_and_range():
             kernels.cosine_similarity(tb, ta))
         assert 0.0 <= kernels.cosine_similarity(ta, tb) <= 1.0
         assert 0.0 <= kernels.jaccard(ta, tb) <= 1.0
+
+
+def test_driver_cc_label_propagation_random_graphs(ray_session):
+    """Vectorized min-label propagation == brute-force union-find on
+    random graphs (component label = min record id)."""
+    import numpy as np
+
+    from dedupe_api_ray.stages.clustering import connected_components_driver
+
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        n_nodes = int(rng.randint(5, 400))
+        n_edges = int(rng.randint(1, 800))
+        ids = rng.choice(np.arange(1000, 1000 + n_nodes * 3), size=n_nodes,
+                         replace=False).astype(np.int64)
+        u = rng.choice(ids, size=n_edges)
+        v = rng.choice(ids, size=n_edges)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        if len(u) == 0:
+            continue
+        # brute force
+        parent = {int(x): int(x) for x in np.concatenate([u, v])}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(u, v):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        ds = ray.data.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)}))
+        got = connected_components_driver(ds).to_pandas()
+        assert dict(zip(got["record_id"], got["component_id"])) == want, trial
+
+
+def test_cluster_partition_kernel_equals_per_component(ray_session):
+    """cluster_scored_pairs (one kernel call per component-hash
+    partition, vectorized single-edge fast path) emits exactly the
+    per-component ComponentClusterer rows."""
+    import numpy as np
+    import pandas as pd
+
+    from dedupe_api_ray.stages.clustering import (ComponentClusterer,
+                                                  cluster_scored_pairs,
+                                                  connected_components_driver)
+
+    rng = np.random.RandomState(11)
+    rows_a, rows_b, rows_s = [], [], []
+    # a mix: many single-edge components, a few multi-edge ones
+    next_id = 0
+    for _ in range(40):  # single-edge
+        rows_a.append(next_id)
+        rows_b.append(next_id + 1)
+        rows_s.append(float(rng.uniform(0.5, 1.0)))
+        next_id += 2
+    for size in (3, 5, 9, 30):  # connected multi-edge components
+        ids = np.arange(next_id, next_id + size)
+        next_id += size
+        for i in range(size - 1):  # spanning chain keeps it connected
+            rows_a.append(int(ids[i]))
+            rows_b.append(int(ids[i + 1]))
+            rows_s.append(float(rng.uniform(0.5, 1.0)))
+        for _ in range(size):  # extra random in-component edges
+            i, j = rng.choice(size, 2, replace=False)
+            a, b = int(ids[min(i, j)]), int(ids[max(i, j)])
+            rows_a.append(a)
+            rows_b.append(b)
+            rows_s.append(float(rng.uniform(0.5, 1.0)))
+    df = pd.DataFrame({"id_a": rows_a, "id_b": rows_b,
+                       "score": rows_s}).drop_duplicates(["id_a", "id_b"])
+    scored = ray.data.from_pandas(df)
+    got = cluster_scored_pairs(scored, threshold=0.5).to_pandas() \
+        .sort_values("record_id").reset_index(drop=True)
+
+    # reference: per-component ComponentClusterer
+    edges = ray.data.from_arrow(pa.table({
+        "u": pa.array(df["id_a"].to_numpy(), pa.int64()),
+        "v": pa.array(df["id_b"].to_numpy(), pa.int64())}))
+    labels = connected_components_driver(edges).to_pandas()
+    lab = dict(zip(labels["record_id"], labels["component_id"]))
+    df["component_id"] = df["id_a"].map(lab)
+    clusterer = ComponentClusterer(0.5)
+    want = pd.concat([clusterer(g) for _, g in df.groupby("component_id")],
+                     ignore_index=True).sort_values("record_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["record_id", "cluster_id", "confidence"]],
+        want[["record_id", "cluster_id", "confidence"]])
