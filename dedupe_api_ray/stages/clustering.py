@@ -561,13 +561,32 @@ def greedy_matching(scored: ray.data.Dataset, threshold: float = 0.5,
     edges = kept.map_batches(
         lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
         batch_format="pyarrow")
-    labels = connected_components(edges, mode=cc_mode)
-    labels_renamed = labels.map_batches(
-        lambda t: t.rename_columns(["id_a", "component_id"]),
-        batch_format="pyarrow")
-    from dedupe_api_ray.utils import default_num_partitions
-    with_comp = kept.join(labels_renamed, join_type="inner",
-                          num_partitions=default_num_partitions(),
-                          on=("id_a",))
+    labels = connected_components(edges, mode=cc_mode).materialize()
+    from dedupe_api_ray.utils import default_num_partitions, should_broadcast
+    if should_broadcast(labels):
+        # same size-routed label attach as cluster_scored_pairs
+        ltbl = pa.concat_tables(list(labels.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        lr = ltbl["record_id"].to_numpy(zero_copy_only=False)
+        lc = ltbl["component_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lr, kind="stable")
+        lab_ref = ray.put((lr[order], lc[order]))
+
+        def attach_component(t: pa.Table) -> pa.Table:
+            r, c = ray.get(lab_ref)
+            ids = t["id_a"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(r, ids)
+            return t.append_column(
+                "component_id", pa.array(c[pos], pa.int64()))
+
+        with_comp = kept.map_batches(attach_component,
+                                     batch_format="pyarrow")
+    else:
+        labels_renamed = labels.map_batches(
+            lambda t: t.rename_columns(["id_a", "component_id"]),
+            batch_format="pyarrow")
+        with_comp = kept.join(labels_renamed, join_type="inner",
+                              num_partitions=default_num_partitions(),
+                              on=("id_a",))
     return with_comp.groupby("component_id").map_groups(
         _greedy_group, batch_format="pandas")
