@@ -459,6 +459,8 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
         batch_format="pyarrow")
     kept = kept.materialize()
     _mark(f"kept edges={kept.count()}")
+    if os.environ.get("DEDUPE_DEBUG_STATS"):
+        print(kept.stats(), flush=True)
     if kept.count() == 0:
         # empty datasets lose their schema through joins (Ray 2.49):
         # short-circuit to an empty, correctly-typed entity fragment

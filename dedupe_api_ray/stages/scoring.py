@@ -98,7 +98,7 @@ def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
                 return pa.table(out)
 
         return pairs.map_batches(AttachBroadcast, batch_format="pyarrow",
-                                 concurrency=(1, 4), num_cpus=1)
+                                 concurrency=(1, 8), num_cpus=1)
 
     # large side: two hash-partitioned joins.  Arrow's hash join
     # rejects list<> payload columns, so token columns stay behind and
