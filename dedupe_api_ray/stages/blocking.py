@@ -210,12 +210,21 @@ def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
 
 def distinct_pairs(pairs: ray.data.Dataset, col_a: str = "id_a",
                    col_b: str = "id_b",
-                   num_buckets: int = 64) -> ray.data.Dataset:
+                   num_buckets: int | None = None) -> ray.data.Dataset:
     """Global distinct over a two-int64-key table WITHOUT a multi-key
     groupby (Ray 2.49's multi-column groupby degrades badly past ~1M
     rows).  Shape: per-batch local dedup (cuts shuffle volume) → hash
     bucket on (a, b) → single-int-key groupby → vectorized
-    drop_duplicates per bucket."""
+    drop_duplicates per bucket.
+
+    ``num_buckets`` defaults to 8× the shuffle partition count: each
+    bucket becomes ONE output block, and downstream operators (the
+    scorer pool above all) inherit that granularity — a fixed 64
+    buckets left 32 CPUs consuming 64 skewed blocks, so one 630k-pair
+    block strangled the whole scoring stage."""
+    from dedupe_api_ray.utils import shuffle_partitions
+    if num_buckets is None:
+        num_buckets = shuffle_partitions() * 8
     def bucket(t: pa.Table) -> pa.Table:
         a = t[col_a].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = t[col_b].to_numpy(zero_copy_only=False).astype(np.uint64)
