@@ -208,17 +208,23 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, attempts: int = 2) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        if out.returncode != 0:
+        for attempt in range(attempts):
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            if out.returncode == 0:
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            # a leg occasionally dies on a Ray-internal fatal
+            # (task_manager.cc "unexpected system state"); each leg is
+            # its own subprocess, so one retry is safe and keeps an
+            # unattended paired run alive
             sys.stderr.write(f"--- bench leg num_cpus={ncpu} failed "
-                             f"(rc={out.returncode}); stderr tail ---\n")
+                             f"(rc={out.returncode}, attempt {attempt + 1}/"
+                             f"{attempts}); stderr tail ---\n")
             sys.stderr.write("\n".join(out.stderr.splitlines()[-40:]) + "\n")
-            raise SystemExit(1)
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        raise SystemExit(1)
 
     ensure_corpus()  # generate once, outside both timed runs
     lo, hi = 8, 32
