@@ -29,6 +29,11 @@ from dedupe_api_ray.stages.clustering import cluster_scored_pairs
 from dedupe_api_ray.stages.scoring import attach_payload, score_pairs
 from dedupe_api_ray.state.checkpoint import CheckpointManager, fingerprint_of
 
+# max hashed-row count for the driver-side exact-collapse rep-min
+# (narrow (row_hash, id) projection, <= ~200 MB); module-level so tests
+# can force the shuffle-groupby scale path on small fixtures
+COLLAPSE_DRIVER_MAX = 5_000_000
+
 
 def add_row_hash(ds: ray.data.Dataset, fields: list[str],
                  out_col: str = "row_hash") -> ray.data.Dataset:
@@ -168,7 +173,7 @@ def partition(records: ray.data.Dataset, model: Model,
                                        pa.array(rid, pa.int64()))
 
         rep_ref = None
-        if hashed.count() <= 5_000_000:
+        if hashed.count() <= COLLAPSE_DRIVER_MAX:
             # modest corpus: the NARROW (row_hash, id) projection fits
             # the driver (≤ ~200 MB) — one vectorized Arrow group_by
             # there beats a shuffle groupby whose aggregator-actor pool

@@ -129,6 +129,9 @@ def fingerprint_records(records: ray.data.Dataset, model: Model,
 
 
 _PAIR_CHUNK = 20_000_000  # max pairs materialized per vectorized gather
+# max blocking-map rows for the driver-side hot-key count finish;
+# module-level so tests can force the shuffle-groupby scale path
+COUNT_DRIVER_MAX = 20_000_000
 
 
 def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -285,7 +288,7 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
 
     partials = blocking_map.map_batches(local_counts,
                                         batch_format="pyarrow")
-    if blocking_map.count() <= 20_000_000:
+    if blocking_map.count() <= COUNT_DRIVER_MAX:
         # modest blocking map: finish the count on the driver — the
         # partials are ≤ one narrow row per (key, batch), and a
         # shuffle groupby pays an aggregator-pool startup that dwarfs

@@ -172,3 +172,42 @@ def test_cluster_partition_kernel_equals_per_component(ray_session):
     pd.testing.assert_frame_equal(
         got[["record_id", "cluster_id", "confidence"]],
         want[["record_id", "cluster_id", "confidence"]])
+
+
+def test_partition_scale_paths_match_broadcast_paths(
+        ray_session, tabular_fixture, monkeypatch):
+    """The join/shuffle SCALE paths (taken only above the broadcast /
+    driver-route thresholds in production) must produce the same
+    entity map as the small-size broadcast fast paths — forced here by
+    patching the routing thresholds."""
+    import pandas as pd
+
+    import dedupe_api_ray.pipelines.dedupe as dp
+    import dedupe_api_ray.stages.blocking as bl
+    import dedupe_api_ray.utils as utils
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    tbl = tabular_fixture["records"]
+    cols = tbl.to_pydict()
+    records = {rid: {k: cols[k][i] for k in ("name", "address", "zip", "phone")}
+               for i, rid in enumerate(cols["record_id"])}
+    lp = tabular_fixture["labeled_pairs"].to_pydict()
+    labeled = list(zip(lp["id_a"], lp["id_b"], lp["label"]))
+    fields = [FieldDef("name", "String"), FieldDef("address", "String"),
+              FieldDef("zip", "Exact"),
+              FieldDef("phone", "String", has_missing=True)]
+    model = train_model(records, labeled, fields, max_predicates=2)
+
+    def run():
+        return partition(ray.data.from_arrow(tbl), model, threshold=0.5,
+                         scorer_concurrency=(1, 2)).to_pandas() \
+            .sort_values("record_id").reset_index(drop=True)
+
+    fast = run()
+    monkeypatch.setattr(utils, "should_broadcast", lambda *a, **k: False)
+    monkeypatch.setattr(dp, "COLLAPSE_DRIVER_MAX", -1)
+    monkeypatch.setattr(bl, "COUNT_DRIVER_MAX", -1)
+    slow = run()
+    pd.testing.assert_frame_equal(
+        fast[["record_id", "cluster_id", "confidence"]],
+        slow[["record_id", "cluster_id", "confidence"]])
