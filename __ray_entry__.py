@@ -617,6 +617,29 @@ def _q_tfidf_canopy(sf_dir: str):
     return tfidf_canopy_keys(docs, "text", threshold=0.6, pred_tag="canopy")
 
 
+def _q_tfidf_search(sf_dir: str):
+    """P21/A2: query docs (doc_id % 5 == 0) against a TF-IDF search
+    index over ALL documents; one key per indexed record with cosine
+    >= 0.6 (self-matches included — the engine does not exclude a
+    query that is also indexed).  Oracle: the same tf-idf weight CTEs
+    as tfidf_canopy, pairwise join, no sweep."""
+    import numpy as np
+
+    from dedupe_api_ray.blocking.canopy import tfidf_search_keys
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: pa.table({"record_id": t["doc_id"], "text": t["text"]}),
+        batch_format="pyarrow").materialize()
+
+    def pick_queries(t: pa.Table) -> pa.Table:
+        rid = t["record_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.asarray(rid) % 5 == 0))
+
+    queries = docs.map_batches(pick_queries, batch_format="pyarrow")
+    return tfidf_search_keys(queries, docs, "text", threshold=0.6,
+                             pred_tag="search")
+
+
 def _q_levenshtein_canopy(sf_dir: str):
     """P22 canopy over the source column (short strings)."""
     from dedupe_api_ray.blocking.levenshtein import levenshtein_canopy_keys
@@ -754,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # canopy / levenshtein / greedy (sequential sweeps — oracled
         # via recursive CTEs that replay the pinned sweep order)
         "tfidf_canopy": _q_tfidf_canopy,
+        "tfidf_search": _q_tfidf_search,
         "levenshtein_canopy": _q_levenshtein_canopy,
         "greedy_matching": _q_greedy_matching,
         # flagship
@@ -943,6 +967,33 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     # blocking/levenshtein.py::levenshtein_canopy_keys).  The pairwise
     # similarity relation is precomputed once (cospairs / close) so the
     # recursion only consults it.
+    # tfidf_search oracle: same tf-idf weights, pairwise join only —
+    # queries are doc_id % 5 == 0 against an index of all documents,
+    # self-matches (cosine 1.0) included like the engine's
+    tfidf_search_sql = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS f
+  FROM (SELECT doc_id, unnest({_TOK_SQL}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), dfc AS (
+  SELECT tok, count(*) AS d FROM tf GROUP BY tok
+), w0 AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.f * (ln((SELECT count(*) FROM documents) / (1.0 + dfc.d)) + 1.0)
+           AS w
+  FROM tf JOIN dfc USING (tok)
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w0 GROUP BY doc_id
+), w AS (
+  SELECT w0.doc_id, tok, w / nn AS w FROM w0 JOIN nrm USING (doc_id)
+  WHERE nn > 0
+)
+SELECT 'search:' || CAST(b.doc_id AS VARCHAR) AS block_key,
+       a.doc_id AS record_id
+FROM w a JOIN w b ON a.tok = b.tok
+WHERE a.doc_id % 5 = 0
+GROUP BY a.doc_id, b.doc_id
+HAVING sum(a.w * b.w) >= 0.6"""
     tfidf_canopy_sql = f"""
 WITH RECURSIVE tf AS (
   SELECT doc_id, tok, count(*)::DOUBLE AS f
@@ -1331,6 +1382,7 @@ FROM repmap m JOIN complbl c ON c.rid = m.rid"""
         "simhash_near_dup": simhash_near_sql,
         "embedding_near_dup_lsh": lsh_sql,
         "tfidf_canopy": tfidf_canopy_sql,
+        "tfidf_search": tfidf_search_sql,
         "levenshtein_canopy": lev_canopy_sql,
         "greedy_matching": greedy_sql,
         # flagship_dedupe: intentionally no SQL oracle (the final
