@@ -252,6 +252,17 @@ def _q_events_tumbling(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user: one row per
+    session with count/sum/start/end.  Oracle: lag + windowed
+    cumulative break-sum, the standard SQL sessionization."""
+    from dedupe_api_ray.extras.sessions import sessionize
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ev, gap_minutes=30.0)
+
+
 def _q_q1_lineitem(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -765,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "threshold_filter_sort": _q_threshold_filter_sort,
         "events_tumbling": _q_events_tumbling,
+        "events_sessionize": _q_events_sessionize,
         "q1_lineitem_agg": _q_q1_lineitem,
         "orders_customer_join": _q_orders_customer_join,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
@@ -1212,6 +1224,27 @@ FROM repmap m JOIN complbl c ON c.rid = m.rid"""
                    count(*) AS n,
                    cast(round(sum(value) * 100, 0) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+        "events_sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o
+            )
+            SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   cast(round(sum(value) * 100, 0) AS BIGINT)
+                     AS sum_value_cents,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id""",
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    cast(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_cents,

@@ -139,3 +139,54 @@ def test_dedupe_canon_two_pass(ray_session, tabular_fixture):
     assert n2 <= n1
     cdf = canon.to_pandas()
     assert set(cdf.columns) >= {"record_id", "name", "address"}
+
+
+def test_sessionize_gap_semantics_and_parallel_invariance(ray_session):
+    """Gap STRICTLY greater than the threshold splits sessions; output
+    is identical across partition counts (users never split)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from dedupe_api_ray.extras.sessions import sessionize
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60_000_000, "us")  # one minute
+    rows = [
+        # user 1: gaps 30min (same session: not > 30), then 31min (new)
+        (1, base, 1, 1.0),
+        (2, base + 30 * m, 1, 2.0),
+        (3, base + 61 * m, 1, 4.0),
+        # user 2: single event
+        (4, base + 5 * m, 2, 10.0),
+        # user 3: two bursts
+        (5, base, 3, 1.5),
+        (6, base + 1 * m, 3, 1.5),
+        (7, base + 200 * m, 3, 7.0),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64())})
+
+    def run(nparts):
+        out = sessionize(ray.data.from_arrow(tbl), gap_minutes=30.0,
+                         num_partitions=nparts).to_pandas()
+        return out.sort_values(["user_id", "session_id"]) \
+            .reset_index(drop=True)
+
+    got = run(2)
+    want = pd.DataFrame({
+        "user_id": [1, 1, 2, 3, 3],
+        "session_id": [1, 2, 1, 1, 2],
+        "n_events": [2, 1, 1, 2, 1],
+        "sum_value_cents": [300, 400, 1000, 300, 700],
+    })
+    for col in want.columns:
+        assert got[col].tolist() == want[col].tolist(), col
+    assert got["session_start"].tolist() == [
+        pd.Timestamp(base), pd.Timestamp(base + 61 * m),
+        pd.Timestamp(base + 5 * m), pd.Timestamp(base),
+        pd.Timestamp(base + 200 * m)]
+    pd.testing.assert_frame_equal(got, run(7))
