@@ -37,6 +37,15 @@ _TOK_PATTERN_SQL_ESC = TOKEN_PATTERN_SQL.replace("'", "''")
 _TOK_SQL = f"regexp_extract_all(lower(text), '{_TOK_PATTERN_SQL_ESC}')"
 
 
+
+def _r(arr, nd: int = 6):
+    """pc.round with ties AWAY from zero — pc.round's default is
+    banker's (half_to_even) while DuckDB round() (every oracle) is
+    half-away-from-zero; an exact binary half at the target digit
+    (e.g. a ratio with a power-of-two denominator) would flip a digit
+    and break the hash compare."""
+    return pc.round(arr, nd, round_mode="half_towards_infinity")
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -244,7 +253,7 @@ def _q_events_tumbling(sf_dir: str):
     agg = partials.groupby(["user_id", "hour"]).aggregate(
         Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     def finish(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["sum_value"], 100.0), 0),
+        cents = pc.cast(_r(pc.multiply(t["sum_value"], 100.0), 0),
                         pa.int64())
         return pa.table({"user_id": t["user_id"], "hour": t["hour"],
                          "n": t["n"], "sum_value_cents": cents})
@@ -294,8 +303,8 @@ def _q_q1_lineitem(sf_dir: str):
             Sum("n", alias_name="n"))
     def finish(t: pa.Table) -> pa.Table:
         # integer cents: immune to float-repr drift across engines
-        qty_c = pc.cast(pc.round(pc.multiply(t["sum_qty"], 100.0), 0), pa.int64())
-        rev_c = pc.cast(pc.round(pc.multiply(t["sum_rev"], 100.0), 0), pa.int64())
+        qty_c = pc.cast(_r(pc.multiply(t["sum_qty"], 100.0), 0), pa.int64())
+        rev_c = pc.cast(_r(pc.multiply(t["sum_rev"], 100.0), 0), pa.int64())
         return pa.table({"l_returnflag": t["l_returnflag"],
                          "l_linestatus": t["l_linestatus"],
                          "sum_qty_cents": qty_c, "sum_rev_cents": rev_c,
@@ -329,7 +338,7 @@ def _q_orders_customer_join(sf_dir: str):
             Sum("n_orders", alias_name="n_orders"),
             Sum("total", alias_name="total"))
     def finish(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["total"], 100.0), 0), pa.int64())
+        cents = pc.cast(_r(pc.multiply(t["total"], 100.0), 0), pa.int64())
         return pa.table({"c_mktsegment": t["c_mktsegment"],
                          "n_orders": t["n_orders"], "total_cents": cents})
 
@@ -459,7 +468,7 @@ def _q_embedding_topk(sf_dir: str):
                            qdf["vec_id"].to_numpy(), k=5)
     return out.map_batches(
         lambda t: pa.table({"query_id": t["query_id"], "vec_id": t["vec_id"],
-                            "score": pc.round(t["score"], 4)}),
+                            "score": _r(t["score"], 4)}),
         batch_format="pyarrow")
 
 
@@ -482,7 +491,7 @@ def _q_embedding_topk_ivf(sf_dir: str):
                    index_dir=tempfile.mkdtemp(prefix="ivf_q_"))
     return out.map_batches(
         lambda t: pa.table({"query_id": t["query_id"], "vec_id": t["vec_id"],
-                            "score": pc.round(t["score"], 4)}),
+                            "score": _r(t["score"], 4)}),
         batch_format="pyarrow")
 
 
@@ -496,7 +505,7 @@ def _q_embedding_near_dup(sf_dir: str):
                                    threshold=0.35, num_buckets=0)
     return out.map_batches(
         lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
-                            "cosine": pc.round(t["cosine"], 4)}),
+                            "cosine": _r(t["cosine"], 4)}),
         batch_format="pyarrow")
 
 
@@ -711,7 +720,7 @@ def _q_flagship_scores(sf_dir: str):
     return scored.map_batches(
         lambda t: pa.table({
             "id_a": t["id_a"], "id_b": t["id_b"],
-            "score": pc.round(pc.cast(t["score"], pa.float64()), 6)}),
+            "score": _r(pc.cast(t["score"], pa.float64()), 6)}),
         batch_format="pyarrow")
 
 

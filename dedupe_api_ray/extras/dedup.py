@@ -29,6 +29,7 @@ import ray
 import ray.data
 
 from dedupe_api_ray.functions.text import TOKEN_RE
+from dedupe_api_ray.utils import round_half_away
 
 MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -310,7 +311,7 @@ class JaccardVerifier:
         keep = sims >= self.threshold  # threshold on the exact value
         return pa.table({"id_a": pa.array(np.asarray(batch["id_a"])[keep]),
                          "id_b": pa.array(np.asarray(batch["id_b"])[keep]),
-                         "jaccard": pa.array(np.round(sims[keep], 6),
+                         "jaccard": pa.array(round_half_away(sims[keep]),
                                              pa.float64())})
 
 
@@ -342,7 +343,7 @@ class JoinedJaccardVerifier:
         keep = sims >= self.threshold
         return pa.table({"id_a": pa.array(np.asarray(batch["id_a"])[keep]),
                          "id_b": pa.array(np.asarray(batch["id_b"])[keep]),
-                         "jaccard": pa.array(np.round(sims[keep], 6),
+                         "jaccard": pa.array(round_half_away(sims[keep]),
                                              pa.float64())})
 
 
@@ -714,7 +715,7 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
         lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
         hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
         return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cosine": np.round(sim[ia[keep], ib[keep]], 6)})
+                             "cosine": round_half_away(sim[ia[keep], ib[keep]])})
 
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,

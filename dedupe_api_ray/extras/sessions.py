@@ -57,7 +57,12 @@ def _sessionize_partition(g: pd.DataFrame, gap_us: int) -> pd.DataFrame:
         "user_id": u[s_starts],
         "session_id": sess_in_user[s_starts],
         "n_events": n.astype(np.int64),
-        "sum_value_cents": np.round(sums * 100.0).astype(np.int64),
+        # half-AWAY-FROM-ZERO cents (sign-aware), matching DuckDB's
+        # round(): np.round is banker's (half-to-even) and diverges by
+        # 1 cent whenever a session sum lands exactly on a half-cent
+        "sum_value_cents": (np.sign(sums)
+                            * np.floor(np.abs(sums) * 100.0 + 0.5)
+                            ).astype(np.int64),
         "session_start": t_start.astype("datetime64[us]"),
         "session_end": t_end.astype("datetime64[us]")})
 

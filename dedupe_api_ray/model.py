@@ -145,15 +145,25 @@ class DataModel:
         return len(self.feature_names)
 
     def distances(self, recs_a: dict[str, list], recs_b: dict[str, list],
-                  precomputed: dict[str, np.ndarray] | None = None
-                  ) -> np.ndarray:
+                  precomputed: dict[str, np.ndarray] | None = None,
+                  n: int | None = None) -> np.ndarray:
         """Feature matrix for n pairs.  ``recs_a``/``recs_b`` map field
         name → list of n values (plus optional ``<field>__tokens``
         columns holding pre-tokenized lists for Text fields).
         ``precomputed`` maps a field name to an already-computed
         distance column (e.g. the scorer's cached-cosine fast path) —
-        values must equal what the kernel here would produce."""
-        n = len(next(iter(recs_a.values())))
+        values must equal what the kernel here would produce.
+        ``n`` (pair count) must be passed explicitly when EVERY
+        feature arrives precomputed and no raw column is shipped —
+        the Text-only sidecar case, where recs_a is empty."""
+        if n is None:
+            if recs_a:
+                n = len(next(iter(recs_a.values())))
+            elif precomputed:
+                n = len(next(iter(precomputed.values())))
+            else:
+                raise ValueError("distances(): no raw columns, no "
+                                 "precomputed columns and no explicit n")
         base_width = sum(len(self._col_of[f.name]) for f in self._base)
         x = np.zeros((n, self.n_features), dtype=np.float64)
         col = 0

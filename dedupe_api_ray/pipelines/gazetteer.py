@@ -19,6 +19,7 @@ import ray
 import ray.data
 
 from dedupe_api_ray.functions.text import TOKEN_RE
+from dedupe_api_ray.utils import round_half_away
 
 
 class JaccardGazetteer:
@@ -66,7 +67,7 @@ class JaccardGazetteer:
                     continue
                 out_q.append(qid)
                 out_c.append(cid)
-                out_s.append(round(float(sim[j]), 6))
+                out_s.append(float(round_half_away(sim[j])))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "canon_id": pa.array(out_c, pa.int64()),
                          "jaccard": pa.array(out_s, pa.float64())})

@@ -150,9 +150,12 @@ def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
 
     ``side``: 0 = triangle member (unsalted key, or the i-rows of a
     salted '(i, i)' group); for a salted cross group '(i, j)', i < j,
-    rows carry side 0 (record's salt == i) or 1 (== j) and only
+    rows carry side -1 (record's salt == i) or +1 (== j) and only
     left×right pairs are emitted — within-sub pairs come from the
-    (i, i) / (j, j) groups, keeping salting lossless."""
+    (i, i) / (j, j) groups, keeping salting lossless.  A cross segment
+    that received rows from only ONE side (skewed salted block) emits
+    nothing — it is NOT a triangle, and emitting its within-sub pairs
+    would duplicate the diagonal groups' output."""
     empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                           "id_b": pd.Series(dtype=np.int64)})
     if len(g) == 0:
@@ -169,14 +172,16 @@ def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
     c, s, i = c[keep], s[keep], i[keep]
     starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
     seg_len = np.diff(np.r_[starts, len(c)])
-    n_right = np.add.reduceat(s.astype(np.int64), starts)  # side-1 rows
-    n_left = seg_len - n_right
+    n_right = np.add.reduceat((s == 1).astype(np.int64), starts)
+    n_left = np.add.reduceat((s == -1).astype(np.int64), starts)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
 
     # triangle segments, grouped by length (ids ascend within a
-    # segment, so triu output is already ordered id_a < id_b)
-    tri = np.flatnonzero((n_right == 0) & (seg_len >= 2))
+    # segment, so triu output is already ordered id_a < id_b).  A
+    # one-sided salted cross segment (n_left or n_right zero but not
+    # both) matches NEITHER branch and emits nothing, by design.
+    tri = np.flatnonzero((n_right == 0) & (n_left == 0) & (seg_len >= 2))
     for k in np.unique(seg_len[tri]):
         sel = starts[tri[seg_len[tri] == k]]
         ia, ib = np.triu_indices(k, k=1)
@@ -364,7 +369,12 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
             for t in range(k):
                 i, j = (s, t) if s <= t else (t, s)
                 kk.append(f"{key}#{i}.{j}")
-                sd.append(0 if s == i else 1)
+                # 0 = diagonal (i, i) triangle member; cross groups tag
+                # left = -1 / right = +1 so the pair emitter can tell a
+                # one-sided cross segment from a triangle (it must emit
+                # NOTHING — its within-sub pairs belong to the diagonal
+                # groups) instead of relying on distinct_pairs downstream
+                sd.append(0 if i == j else (-1 if s == i else 1))
             o_key.append(np.asarray(kk, dtype=object))
             o_rid.append(np.full(k, rid, np.int64))
             o_side.append(np.asarray(sd, np.int8))

@@ -444,14 +444,17 @@ def _cluster_partition(g: pd.DataFrame, threshold: float,
     out_f: list[np.ndarray] = []
     single = starts[lens == 1]
     if len(single):
-        # one edge → two nodes; pairs are ordered (id_a < id_b), so
-        # cluster_id = id_a and confidence = the pair score — exactly
-        # the n == 2 branch of _cluster_component_arrays
+        # one edge → two nodes with cluster_id = min(id_a, id_b) and
+        # confidence = the pair score — exactly the n == 2 branch of
+        # _cluster_component_arrays.  np.minimum (not id_a alone): the
+        # pipeline emits ordered pairs, but a direct caller with
+        # unordered pairs must not silently get a non-min label.
+        cid = np.minimum(ia[single], ib[single])
         out_r.append(ia[single])
-        out_c.append(ia[single])
+        out_c.append(cid)
         out_f.append(sc[single])
         out_r.append(ib[single])
-        out_c.append(ia[single])
+        out_c.append(cid)
         out_f.append(sc[single])
     for s, length in zip(starts[lens > 1], lens[lens > 1]):
         rid, cid, conf = _cluster_component_arrays(

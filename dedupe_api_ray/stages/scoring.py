@@ -413,7 +413,10 @@ class PairScorer:
             recs_b[c] = batch[f"b_{c}"].to_pylist()
         precomputed = {f: self._cosine_col(f, batch, names)
                        for f in self.text_fields}
-        x = self.dm.distances(recs_a, recs_b, precomputed=precomputed)
+        # n explicit: a Text-only model whose single field is sidecar-
+        # covered ships NO a_/b_ columns at all (recs_a empty)
+        x = self.dm.distances(recs_a, recs_b, precomputed=precomputed,
+                              n=len(batch))
         score = self.model.predict_proba(x).astype(np.float32)
         return pa.table({
             "id_a": batch["id_a"],

@@ -36,6 +36,18 @@ def shuffle_partitions(requested: int | None = None) -> int:
     return max(8, cpus * 2)
 
 
+def round_half_away(x, ndigits: int = 6):
+    """Decimal rounding with ties AWAY from zero — the SQL (DuckDB /
+    ANSI) convention.  np.round is banker's (half-to-even) and silently
+    diverges by one ulp-of-decimal whenever a value lands exactly on a
+    half at the target digit (e.g. jaccard 77/128 at 6 dp), breaking
+    engine-vs-oracle hash parity."""
+    import numpy as np
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0 ** ndigits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def should_broadcast(ds: "ray.data.Dataset", max_rows: int = 2_000_000,
                      max_bytes: int = 1 << 30) -> bool:
     """Small-side payload routing: broadcast (one ``ray.put``, probed

@@ -1,0 +1,124 @@
+"""Regression tests for the round-3 ADVICE findings: Text-only-model
+scoring with sidecar-excluded payload, min-label single-edge clusters,
+one-sided salted cross segments, and half-away-from-zero rounding."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from dedupe_api_ray.model import FieldDef, Model, PredicateSpec
+
+
+def _text_only_model() -> Model:
+    return Model(field_defs=[FieldDef("text", "Text")],
+                 predicates=[PredicateSpec("simple", "text",
+                                           "firstTokenPredicate")],
+                 weights=np.array([10.0]), bias=-8.0, idf={})
+
+
+def test_partition_text_only_model_with_candidate_pairs(ray_session):
+    """ADVICE high: a model whose ONLY field is a sidecar-covered Text
+    field ships no a_/b_ pair columns at all; the scorer must derive
+    the pair count from the batch, not from recs_a (StopIteration)."""
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    texts = ["shared prefix alpha beta gamma delta",
+             "shared prefix alpha beta gamma delta epsilon",
+             "shared prefix totally different words here now",
+             "unrelated zeta eta theta iota"]
+    docs = ray.data.from_arrow(pa.table({
+        "record_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    em = partition(docs, _text_only_model(), threshold=0.5,
+                   scorer_concurrency=1).to_pandas()
+    assert len(em) == 4
+    m = dict(zip(em["record_id"], em["cluster_id"]))
+    assert m[1] == m[2] == 1          # near-identical texts cluster
+    assert m[4] == 4                  # singleton stays itself
+
+
+def test_single_edge_cluster_id_is_min_for_unordered_pairs(ray_session):
+    """ADVICE low: direct callers of cluster_scored_pairs with
+    UNORDERED pairs must still get cluster_id = min(id_a, id_b)."""
+    from dedupe_api_ray.stages.clustering import cluster_scored_pairs
+
+    scored = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([9], pa.int64()),      # deliberately id_a > id_b
+        "id_b": pa.array([3], pa.int64()),
+        "score": pa.array([0.9], pa.float32())}))
+    out = cluster_scored_pairs(scored, threshold=0.5).to_pandas()
+    assert sorted(out["record_id"]) == [3, 9]
+    assert set(out["cluster_id"]) == {3}
+
+
+def test_one_sided_cross_segment_emits_nothing():
+    """ADVICE low: a salted cross segment holding only one side's rows
+    (skewed salted block) must emit no pairs — its within-sub pairs
+    belong to the diagonal groups."""
+    from dedupe_api_ray.stages.blocking import _emit_pairs_partition
+
+    # left-only cross segment (side -1): nothing
+    g = pd.DataFrame({"block_key": ["k#0.1"] * 3,
+                      "record_id": [1, 2, 3],
+                      "side": np.array([-1, -1, -1], np.int8)})
+    assert len(_emit_pairs_partition(g)) == 0
+    # right-only cross segment (side +1): nothing (symmetric now)
+    g["side"] = np.array([1, 1, 1], np.int8)
+    assert len(_emit_pairs_partition(g)) == 0
+    # two-sided cross segment: left x right only
+    g2 = pd.DataFrame({"block_key": ["k#0.1"] * 4,
+                       "record_id": [1, 3, 2, 4],
+                       "side": np.array([-1, -1, 1, 1], np.int8)})
+    out = _emit_pairs_partition(g2)
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {(1, 2), (1, 4), (2, 3), (3, 4)}
+    # diagonal (triangle) group unaffected
+    g3 = pd.DataFrame({"block_key": ["k#1.1"] * 3,
+                       "record_id": [5, 6, 7],
+                       "side": np.array([0, 0, 0], np.int8)})
+    out3 = _emit_pairs_partition(g3)
+    assert set(zip(out3["id_a"], out3["id_b"])) == {(5, 6), (5, 7), (6, 7)}
+
+
+def test_salting_lossless_with_one_sided_fix(ray_session):
+    """End-to-end: salted candidate pairs == unsalted pairs on the
+    same blocking map (losslessness survives the one-sided-skip)."""
+    from dedupe_api_ray.stages.blocking import candidate_pairs
+
+    rng = np.random.RandomState(7)
+    # one hot key (60 rows) + several cold keys
+    keys = ["hot"] * 60 + [f"cold{i % 5}" for i in range(25)]
+    rids = rng.permutation(len(keys)).astype(np.int64)
+    bm = ray.data.from_arrow(pa.table({
+        "block_key": pa.array(keys, pa.string()),
+        "record_id": pa.array(rids, pa.int64())}))
+    plain = candidate_pairs(bm, max_block_size=1000, hard_cap=10**9)
+    salted = candidate_pairs(bm, max_block_size=8, hard_cap=10**9)
+    p = set(zip(*plain.to_pandas()[["id_a", "id_b"]].to_numpy().T))
+    s = set(zip(*salted.to_pandas()[["id_a", "id_b"]].to_numpy().T))
+    assert p == s and len(p) > 0
+
+
+def test_sessionize_rounding_half_away_from_zero():
+    """ADVICE low: a session sum landing exactly on a half-cent must
+    round away from zero (DuckDB round()), not to even (np.round)."""
+    from dedupe_api_ray.extras.sessions import _sessionize_partition
+
+    g = pd.DataFrame({
+        "user_id": np.array([1], np.int64),
+        "event_id": np.array([1], np.int64),
+        "ts": pd.to_datetime(["2024-01-01T00:00:00"]),
+        "value": np.array([0.125], np.float64)})  # 12.5 cents exactly
+    out = _sessionize_partition(g, gap_us=60_000_000)
+    assert out["sum_value_cents"].iloc[0] == 13  # not 12 (banker's)
+
+
+def test_round_half_away_helper():
+    from dedupe_api_ray.utils import round_half_away
+
+    v = np.array([77.0 / 128.0, -77.0 / 128.0, 0.25])
+    r = round_half_away(v, 6)
+    assert r[0] == 0.601563 and r[1] == -0.601563 and r[2] == 0.25
