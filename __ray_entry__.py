@@ -46,6 +46,321 @@ def _r(arr, nd: int = 6):
     and break the hash compare."""
     return pc.round(arr, nd, round_mode="half_towards_infinity")
 
+# ---------------------------------------------------------------------------
+# Flagship-chain SQL templates (oracle for pipelines/dedupe.py).
+#
+# The whole partition() pipeline — normalize → exact-collapse →
+# firstToken blocking → TF-cosine + exact-source scoring → threshold →
+# connected components → per-component Lance-Williams centroid-linkage
+# REPLAY with the fcluster-style maxh cut — is expressed as one CTE
+# chain, parameterized by (source relation, CTE-name prefix) so
+# dedupe_canon can instantiate it twice (documents pass + canon pass)
+# in a single statement.  Float parity notes:
+# - scores: computed in DOUBLE, cast to REAL like the engine's float32
+#   store, so ulp noise cannot flip a rounded digit;
+# - linkage: the Lance-Williams update is written with the engine's
+#   exact operand grouping ((sa*dak + sb*dbk)/(sa+sb) - sa*sb*dmin/
+#   ((sa+sb)*(sa+sb))); +/* are commutative in IEEE so slot order is
+#   irrelevant, and ties break on (a, b) node ids exactly like
+#   stages/clustering.py::centroid_linkage_np's lexsort;
+# - the replay assumes no component exceeds max_cluster_size=1000
+#   (the engine's transitive-closure fallback), true at oracle scales.
+# ---------------------------------------------------------------------------
+
+
+def _dedupe_chain_ctes(src: str, p: str = "") -> str:
+    """CTE list for the chain up to scored pairs ``{p}sc``:
+    mirrors partition() stages over ``src`` (doc_id, text, source)."""
+    return f"""{p}norm AS (
+  SELECT doc_id, {_NORM_SQL} AS tnorm, source FROM {src}
+), {p}repmap AS MATERIALIZED (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY tnorm, source) AS rid
+  FROM {p}norm
+), {p}rdocs AS (
+  SELECT n.doc_id AS rid, n.tnorm, n.source
+  FROM {p}norm n JOIN (SELECT DISTINCT rid FROM {p}repmap) r
+    ON n.doc_id = r.rid
+), {p}tf AS (
+  SELECT rid, tok, count(*)::DOUBLE AS f
+  FROM (SELECT rid,
+               unnest(regexp_extract_all(tnorm, '{_TOK_PATTERN_SQL_ESC}'))
+                 AS tok
+        FROM {p}rdocs)
+  GROUP BY rid, tok
+), {p}nrm AS (
+  SELECT rid, sqrt(sum(f * f)) AS nn FROM {p}tf GROUP BY rid
+), {p}bm AS (
+  SELECT rid, source, regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') AS ft
+  FROM {p}rdocs WHERE regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') <> ''
+), {p}prs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b,
+         CASE WHEN a.source = b.source THEN 1.0 ELSE 0.0 END AS eq
+  FROM {p}bm a JOIN {p}bm b ON a.ft = b.ft AND a.rid < b.rid
+), {p}dots AS (
+  SELECT p.id_a, p.id_b, sum(ta.f * tb.f) AS dot
+  FROM {p}prs p
+  JOIN {p}tf ta ON ta.rid = p.id_a
+  JOIN {p}tf tb ON tb.rid = p.id_b AND tb.tok = ta.tok
+  GROUP BY p.id_a, p.id_b
+), {p}sc AS MATERIALIZED (
+  SELECT p.id_a, p.id_b,
+         CAST(1.0 / (1.0 + exp(-(10.0 *
+             LEAST(coalesce(d.dot, 0.0) / (na.nn * nb.nn), 1.0)
+             + 1.0 * p.eq - 8.0))) AS REAL) AS s32
+  FROM {p}prs p
+  LEFT JOIN {p}dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+  JOIN {p}nrm na ON na.rid = p.id_a
+  JOIN {p}nrm nb ON nb.rid = p.id_b
+)"""
+
+
+def _components_ctes(p: str = "") -> str:
+    """Threshold-kept edges → connected components ``{p}complbl``
+    (rid → component_id = min rid) via the recursive min-label walk."""
+    return f"""{p}e0 AS (SELECT id_a AS u, id_b AS v FROM {p}sc WHERE s32 >= 0.5),
+{p}edges AS (SELECT u, v FROM {p}e0 UNION SELECT v, u FROM {p}e0),
+{p}walk(node, lbl) AS (
+  SELECT rid, rid FROM {p}rdocs
+  UNION
+  SELECT e.v, w.lbl FROM {p}walk w JOIN {p}edges e ON e.u = w.node
+  WHERE w.lbl < e.v
+), {p}complbl AS MATERIALIZED (
+  SELECT node AS rid, min(lbl) AS component_id FROM {p}walk GROUP BY node
+)"""
+
+
+def _replay_ctes(p: str = "") -> str:
+    """Per-component centroid-linkage replay + maxh<=0.5 cut →
+    ``{p}em`` (record_id → flat cluster_id for EVERY source record,
+    dupes rejoining through their collapse rep).  Exact mirror of
+    stages/clustering.py::centroid_linkage_np + cut_tree_np: one merge
+    per component per recursion step (global-min distance, ties to the
+    smallest (lo, hi) node-id pair), Lance-Williams distance update,
+    flat clusters = leaves under the topmost merge whose running max
+    link height stays <= 1 - threshold."""
+    return f"""{p}kept AS MATERIALIZED (
+  SELECT id_a, id_b, CAST(s32 AS DOUBLE) AS s FROM {p}sc WHERE s32 >= 0.5
+), {p}leaves AS MATERIALIZED (
+  SELECT component_id AS comp, rid,
+         row_number() OVER (PARTITION BY component_id ORDER BY rid) - 1
+           AS leaf
+  FROM {p}complbl
+), {p}csize AS MATERIALIZED (
+  SELECT comp, count(*) AS n FROM {p}leaves GROUP BY comp
+), {p}d0 AS MATERIALIZED (
+  SELECT a.comp, a.leaf AS ka, b.leaf AS kb,
+         coalesce((1.0 - k.s) * (1.0 - k.s), 1.0) AS d2
+  FROM {p}leaves a JOIN {p}leaves b
+    ON a.comp = b.comp AND a.leaf < b.leaf
+  LEFT JOIN {p}kept k ON k.id_a = a.rid AND k.id_b = b.rid
+), {p}lw(tag, comp, a, b, d2, node, size, maxh) AS (
+  SELECT * FROM (
+    SELECT 'd' AS tag, comp, ka AS a, kb AS b, d2,
+           CAST(NULL AS BIGINT) AS node, CAST(NULL AS BIGINT) AS size,
+           CAST(NULL AS DOUBLE) AS maxh
+    FROM {p}d0
+    UNION ALL
+    SELECT 'c', comp, NULL, NULL, NULL, leaf, 1, 0.0 FROM {p}leaves
+  )
+  UNION ALL
+  SELECT r.* FROM (
+    WITH prev AS (SELECT * FROM {p}lw),
+    dprev AS (SELECT comp, a, b, d2 FROM prev WHERE tag = 'd'),
+    cprev AS (SELECT comp, node, size, maxh FROM prev WHERE tag = 'c'),
+    pick AS (
+      SELECT comp, a, b, d2 FROM (
+        SELECT comp, a, b, d2,
+               row_number() OVER (PARTITION BY comp ORDER BY d2, a, b)
+                 AS rn
+        FROM dprev) t WHERE rn = 1
+    ), stats AS (SELECT comp, count(*) AS cnt FROM cprev GROUP BY comp),
+    mg AS (
+      SELECT pk.comp, pk.a, pk.b, pk.d2, 2 * s.n - st.cnt AS node,
+             ca.size AS sa, cb.size AS sb,
+             greatest(sqrt(pk.d2), ca.maxh, cb.maxh) AS mh
+      FROM pick pk
+      JOIN {p}csize s ON s.comp = pk.comp
+      JOIN stats st ON st.comp = pk.comp
+      JOIN cprev ca ON ca.comp = pk.comp AND ca.node = pk.a
+      JOIN cprev cb ON cb.comp = pk.comp AND cb.node = pk.b
+    )
+    SELECT 'd' AS tag, d.comp, d.a, d.b, d.d2,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM dprev d JOIN mg ON mg.comp = d.comp
+    WHERE d.a <> mg.a AND d.a <> mg.b AND d.b <> mg.a AND d.b <> mg.b
+    UNION ALL
+    SELECT 'd', mg.comp, k.node, mg.node,
+           (mg.sa * dak.d2 + mg.sb * dbk.d2) / (mg.sa + mg.sb)
+           - mg.sa * mg.sb * mg.d2 / ((mg.sa + mg.sb) * (mg.sa + mg.sb)),
+           NULL, NULL, NULL
+    FROM mg
+    JOIN cprev k ON k.comp = mg.comp AND k.node <> mg.a AND k.node <> mg.b
+    JOIN dprev dak ON dak.comp = mg.comp
+         AND dak.a = least(k.node, mg.a) AND dak.b = greatest(k.node, mg.a)
+    JOIN dprev dbk ON dbk.comp = mg.comp
+         AND dbk.a = least(k.node, mg.b) AND dbk.b = greatest(k.node, mg.b)
+    UNION ALL
+    SELECT 'c', c.comp, NULL, NULL, NULL, c.node, c.size, c.maxh
+    FROM cprev c JOIN mg ON mg.comp = c.comp
+    WHERE c.node <> mg.a AND c.node <> mg.b
+    UNION ALL
+    SELECT 'c', comp, NULL, NULL, NULL, node, sa + sb, mh FROM mg
+    UNION ALL
+    SELECT 'h', comp, a, b, d2, node, NULL, mh FROM mg
+  ) r
+), {p}hist AS (
+  SELECT comp, a, b, node AS parent, maxh FROM {p}lw WHERE tag = 'h'
+), {p}up(comp, rid, node) AS (
+  SELECT comp, rid, leaf FROM {p}leaves
+  UNION ALL
+  SELECT u.comp, u.rid, h.parent
+  FROM {p}up u JOIN {p}hist h
+    ON h.comp = u.comp AND (h.a = u.node OR h.b = u.node)
+  WHERE h.maxh <= 0.5
+), {p}topg AS (
+  SELECT comp, rid, max(node) AS gnode FROM {p}up GROUP BY comp, rid
+), {p}flatc AS (
+  SELECT comp, rid, min(rid) OVER (PARTITION BY comp, gnode) AS cluster_id
+  FROM {p}topg
+), {p}em AS MATERIALIZED (
+  SELECT m.doc_id AS record_id, f.cluster_id
+  FROM {p}repmap m JOIN {p}flatc f ON f.rid = m.rid
+)"""
+
+
+def _canonicalize_ctes(src: str = "documents", p: str = "p1",
+                       out: str = "canon_records") -> str:
+    """stages/canonicalize.py in SQL over the ``{p}em`` entity map:
+    per (cluster, field) the canonical value minimizes the summed
+    normalized-affine-gap distance to the other members' values
+    (multiplicity included, ties to the earliest record_id).  The
+    affine-gap DP runs as the shared recursive ``ag`` CTE (one row per
+    (pair, i, j)); every DP quantity is an exact multiple of 1/8 well
+    under 2^52, so any IEEE evaluation order gives bit-identical
+    results.  Cost sums are exact at oracle scales (clusters of <= 3
+    members → <= 2 addends; k*d for k<=2 is exact)."""
+    fields = ("text", "source")
+    parts = []
+    for f in fields:
+        parts.append(f"""{p}cv_{f} AS MATERIALIZED (
+  SELECT e.cluster_id, e.record_id, d.{f} AS v
+  FROM {p}em e JOIN {src} d ON d.doc_id = e.record_id
+  WHERE d.{f} IS NOT NULL AND d.{f} <> ''
+), {p}cc_{f} AS MATERIALIZED (
+  SELECT cluster_id, v, min(record_id) AS first_rid, count(*) AS cnt
+  FROM {p}cv_{f} GROUP BY cluster_id, v
+)""")
+    np0 = " UNION ".join(
+        f"""SELECT a.v AS va, b.v AS vb FROM {p}cc_{f} a JOIN {p}cc_{f} b
+    ON a.cluster_id = b.cluster_id AND a.v < b.v""" for f in fields)
+    parts.append(f"""{p}np0 AS (
+  {np0}
+), {p}agpairs AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY s1, s2) AS pid, s1, s2,
+         length(s1) AS l1, length(s2) AS l2
+  FROM (
+    SELECT DISTINCT
+      CASE WHEN length(ta) >= length(tb) THEN ta ELSE tb END AS s1,
+      CASE WHEN length(ta) >= length(tb) THEN tb ELSE ta END AS s2
+    FROM (SELECT substr(va, 1, 256) AS ta, substr(vb, 1, 256) AS tb
+          FROM {p}np0)
+    WHERE ta <> tb
+  )
+), {p}ag(pid, i, j, v, d) AS (
+  SELECT pid, 0::BIGINT, j,
+         CAST(CASE WHEN j = 0 THEN 0.0 ELSE 10.0 + 7.0 * j END AS DOUBLE),
+         'infinity'::DOUBLE
+  FROM (SELECT pid, unnest(range(l1 + 1)) AS j FROM {p}agpairs)
+  UNION ALL
+  SELECT r.pid, r.i, r.j, r.v, r.d FROM (
+    WITH prev AS (SELECT * FROM {p}ag),
+    step AS (
+      SELECT pr.pid, pr.i + 1 AS i, pr.j, pr.v AS vp, pr.d AS dp,
+             lag(pr.v) OVER (PARTITION BY pr.pid ORDER BY pr.j) AS vp1,
+             pp.s1, pp.s2, pp.l1, pp.l2
+      FROM prev pr JOIN {p}agpairs pp USING (pid)
+      WHERE pr.i < pp.l2
+    ),
+    calc AS (
+      SELECT pid, i, j, l1, l2, vp, dp,
+        CASE WHEN j = 0 THEN NULL
+             ELSE vp1 + CASE WHEN substr(s1, CAST(j AS INT), 1)
+                                  = substr(s2, CAST(i AS INT), 1)
+                        THEN 1.0 ELSE 11.0 END END AS m,
+        CASE WHEN j = 0 THEN 'infinity'::DOUBLE
+             ELSE least(dp, vp + 10.0) + 7.0 END AS dn,
+        CASE WHEN j = 0 THEN 10.0 + 7.0 * i ELSE NULL END AS v0
+      FROM step
+    ),
+    c2 AS (
+      SELECT *, CASE WHEN j = 0 THEN v0 ELSE least(m, dn) END AS bsrc,
+        7.0 * least(j, l2) + 0.875 * greatest(0, j - l2) AS sj
+      FROM calc
+    ),
+    c3 AS (
+      SELECT *,
+        lag(bsrc) OVER (PARTITION BY pid ORDER BY j)
+          + CASE WHEN j > l2 THEN 1.25 ELSE 10.0 END
+          - lag(sj) OVER (PARTITION BY pid ORDER BY j) AS ck
+      FROM c2
+    ),
+    c4 AS (
+      SELECT *, sj + min(ck) OVER (PARTITION BY pid ORDER BY j
+                                   ROWS UNBOUNDED PRECEDING) AS ins
+      FROM c3
+    )
+    SELECT pid, i, j,
+           CASE WHEN j = 0 THEN v0 ELSE least(least(m, dn), ins) END AS v,
+           dn AS d
+    FROM c4
+  ) r
+), {p}nagv AS MATERIALIZED (
+  SELECT p2_.s1, p2_.s2, a.v / (p2_.l1 + p2_.l2) AS d
+  FROM {p}agpairs p2_ JOIN {p}ag a
+    ON a.pid = p2_.pid AND a.i = p2_.l2 AND a.j = p2_.l1
+)""")
+    for f in fields:
+        parts.append(f"""{p}ct_{f} AS (
+  SELECT c.cluster_id, c.v, c.first_rid,
+         coalesce(sum(o.cnt * CASE
+             WHEN substr(c.v, 1, 256) = substr(o.v, 1, 256) THEN 0.5
+             ELSE coalesce(n.d, 'NaN'::DOUBLE) END), 0.0) AS cost
+  FROM {p}cc_{f} c
+  LEFT JOIN {p}cc_{f} o ON o.cluster_id = c.cluster_id AND o.v <> c.v
+  LEFT JOIN {p}nagv n
+    -- key order must MATCH nagv's canonicalization exactly: longer
+    -- string first; equal lengths → lexicographically smaller first
+    -- (nagv inherits ta < tb, so its equal-length s1 is the smaller)
+    ON n.s1 = CASE WHEN length(substr(c.v, 1, 256))
+                        > length(substr(o.v, 1, 256))
+                        OR (length(substr(c.v, 1, 256))
+                            = length(substr(o.v, 1, 256))
+                            AND substr(c.v, 1, 256) < substr(o.v, 1, 256))
+              THEN substr(c.v, 1, 256) ELSE substr(o.v, 1, 256) END
+   AND n.s2 = CASE WHEN length(substr(c.v, 1, 256))
+                        > length(substr(o.v, 1, 256))
+                        OR (length(substr(c.v, 1, 256))
+                            = length(substr(o.v, 1, 256))
+                            AND substr(c.v, 1, 256) < substr(o.v, 1, 256))
+              THEN substr(o.v, 1, 256) ELSE substr(c.v, 1, 256) END
+  GROUP BY c.cluster_id, c.v, c.first_rid
+), {p}canon_{f} AS (
+  SELECT cluster_id, v FROM (
+    SELECT cluster_id, v,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY cost, first_rid) AS rn
+    FROM {p}ct_{f}) t WHERE rn = 1
+)""")
+    parts.append(f"""{out} AS MATERIALIZED (
+  SELECT c.cluster_id AS doc_id, t.v AS text, s.v AS source
+  FROM (SELECT DISTINCT cluster_id FROM {p}em) c
+  LEFT JOIN {p}canon_text t USING (cluster_id)
+  LEFT JOIN {p}canon_source s USING (cluster_id)
+)""")
+    return ",\n".join(parts)
+
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -1085,69 +1400,44 @@ WITH RECURSIVE vals AS (
 )
 SELECT 'lev:' || CAST(m.c AS VARCHAR) AS block_key, d.doc_id AS record_id
 FROM documents d JOIN amap m ON d.source = m.v"""
-    # flagship intermediates (pipelines/dedupe.py::partition with
-    # return_stage): normalize → exact-collapse reps over (text_norm,
-    # source) → firstToken blocking → pairs → TF-cosine + exact-source
-    # features → sigmoid(10*cos + eq - 8).  The engine scores in
-    # float64 then stores float32 (stages/scoring.py::PairScorer); the
-    # SQL applies the SAME float32 cast before rounding so double-ulp
-    # differences (libm exp, summation order) cannot flip a digit.
-    flagship_cte = f"""
-WITH RECURSIVE norm AS (
-  SELECT doc_id, {_NORM_SQL} AS tnorm, source FROM documents
-), repmap AS (
-  SELECT doc_id, min(doc_id) OVER (PARTITION BY tnorm, source) AS rid
-  FROM norm
-), rdocs AS (
-  SELECT n.doc_id AS rid, n.tnorm, n.source
-  FROM norm n JOIN (SELECT DISTINCT rid FROM repmap) r ON n.doc_id = r.rid
-), tf AS (
-  SELECT rid, tok, count(*)::DOUBLE AS f
-  FROM (SELECT rid,
-               unnest(regexp_extract_all(tnorm, '{_TOK_PATTERN_SQL_ESC}'))
-                 AS tok
-        FROM rdocs)
-  GROUP BY rid, tok
-), nrm AS (
-  SELECT rid, sqrt(sum(f * f)) AS nn FROM tf GROUP BY rid
-), bm AS (
-  SELECT rid, source, regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') AS ft
-  FROM rdocs WHERE regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') <> ''
-), prs AS (
-  SELECT a.rid AS id_a, b.rid AS id_b,
-         CASE WHEN a.source = b.source THEN 1.0 ELSE 0.0 END AS eq
-  FROM bm a JOIN bm b ON a.ft = b.ft AND a.rid < b.rid
-), dots AS (
-  SELECT p.id_a, p.id_b, sum(ta.f * tb.f) AS dot
-  FROM prs p
-  JOIN tf ta ON ta.rid = p.id_a
-  JOIN tf tb ON tb.rid = p.id_b AND tb.tok = ta.tok
-  GROUP BY p.id_a, p.id_b
-), sc AS (
-  SELECT p.id_a, p.id_b,
-         CAST(1.0 / (1.0 + exp(-(10.0 *
-             LEAST(coalesce(d.dot, 0.0) / (na.nn * nb.nn), 1.0)
-             + 1.0 * p.eq - 8.0))) AS REAL) AS s32
-  FROM prs p
-  LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
-  JOIN nrm na ON na.rid = p.id_a
-  JOIN nrm nb ON nb.rid = p.id_b
-)"""
+    # flagship chain (pipelines/dedupe.py::partition): normalize →
+    # exact-collapse reps over (text_norm, source) → firstToken
+    # blocking → pairs → TF-cosine + exact-source features →
+    # sigmoid(10*cos + eq - 8) → threshold-CC → Lance-Williams replay
+    # cut.  One parameterized template (_dedupe_chain_ctes/
+    # _components_ctes/_replay_ctes above) feeds all four flagship
+    # oracles so the SQL cannot drift between them.  The engine scores
+    # in float64 then stores float32 (stages/scoring.py::PairScorer);
+    # the SQL applies the SAME float32 cast before rounding so
+    # double-ulp differences cannot flip a digit.
+    flagship_cte = ("\nWITH RECURSIVE " + _dedupe_chain_ctes("documents"))
     flagship_scores_sql = flagship_cte + """
 SELECT id_a, id_b, round(CAST(s32 AS DOUBLE), 6) AS score FROM sc"""
-    flagship_components_sql = flagship_cte + """
-, e0 AS (SELECT id_a AS u, id_b AS v FROM sc WHERE s32 >= 0.5),
-edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-walk(node, lbl) AS (
-  SELECT rid, rid FROM rdocs
-  UNION
-  SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.node
-  WHERE w.lbl < e.v
-), complbl AS (
-  SELECT node AS rid, min(lbl) AS component_id FROM walk GROUP BY node
-)
+    flagship_components_sql = (flagship_cte + ",\n" + _components_ctes() + """
 SELECT m.doc_id AS record_id, c.component_id
-FROM repmap m JOIN complbl c ON c.rid = m.rid"""
+FROM repmap m JOIN complbl c ON c.rid = m.rid""")
+    # the full entity map: per-component hierarchical-clustering cut
+    # replayed merge-by-merge (ties, heights and the maxh cut exactly
+    # as stages/clustering.py) — flagship_dedupe is fully oracled.
+    flagship_dedupe_sql = (flagship_cte + ",\n" + _components_ctes()
+                           + ",\n" + _replay_ctes() + """
+SELECT record_id, cluster_id FROM em""")
+    # dedupe_canon: the whole two-pass pipeline in ONE statement —
+    # pass-1 chain+replay over documents, canonicalize each cluster
+    # (affine-gap centroid value per field), pass-2 chain+replay over
+    # the canonical records, compose record → canon rep → final
+    # cluster.
+    dedupe_canon_sql = (
+        "\nWITH RECURSIVE "
+        + _dedupe_chain_ctes("documents", "p1") + ",\n"
+        + _components_ctes("p1") + ",\n"
+        + _replay_ctes("p1") + ",\n"
+        + _canonicalize_ctes("documents", "p1", "canon_records") + ",\n"
+        + _dedupe_chain_ctes("canon_records", "p2") + ",\n"
+        + _components_ctes("p2") + ",\n"
+        + _replay_ctes("p2") + """
+SELECT e1.record_id, e2.cluster_id
+FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
     return {
         "normalize_documents":
             f"SELECT doc_id, {_NORM_SQL} AS text_norm FROM documents",
@@ -1427,11 +1717,8 @@ FROM repmap m JOIN complbl c ON c.rid = m.rid"""
         "tfidf_search": tfidf_search_sql,
         "levenshtein_canopy": lev_canopy_sql,
         "greedy_matching": greedy_sql,
-        # flagship_dedupe: intentionally no SQL oracle (the final
-        # per-component hierarchical-clustering cut is the one
-        # non-SQL-expressible step) → rows-only; its scored pairs and
-        # threshold components ARE oracled below, and the hclust cut
-        # itself is pinned by the golden-parity F1 tests.
         "flagship_scores": flagship_scores_sql,
         "flagship_components": flagship_components_sql,
+        "flagship_dedupe": flagship_dedupe_sql,
+        "dedupe_canon": dedupe_canon_sql,
     }

@@ -242,7 +242,12 @@ def distinct_pairs(pairs: ray.data.Dataset, col_a: str = "id_a",
         h = ((df[col_a].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
              ^ df[col_b].to_numpy().astype(np.uint64)) % np.uint64(num_buckets)
         df["__bucket"] = h.astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # strip the b'pandas' schema metadata: pyarrow schemas carrying
+        # it are UNHASHABLE (metadata dict), and Ray's reduce-side
+        # schema unification then warns "Failed to hash the schemas"
+        # on every reduce task — burying real signal in bench logs
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates([col_a, col_b])[[col_a, col_b]]
@@ -257,22 +262,37 @@ def distinct_pairs(pairs: ray.data.Dataset, col_a: str = "id_a",
 def candidate_pairs(blocking_map: ray.data.Dataset,
                     max_block_size: int = 500,
                     hard_cap: int = 20_000,
-                    metrics: dict | None = None) -> ray.data.Dataset:
+                    metrics: dict | None = None,
+                    hard_cap_mode: str = "sample") -> ray.data.Dataset:
     """blocking_map (block_key, record_id) → distinct ordered pairs.
 
-    1. per-key counts (small aggregate); keys with count > hard_cap
-       are DROPPED (stopword rule — drops are WARNING-logged and
-       reported through ``metrics`` so truncated recall is observable,
-       never silent), keys with count > max_block_size
-       are salted into ceil(n/max_block_size) sub-blocks with full
-       (i, j) cross-group enumeration;
+    1. per-key counts (small aggregate); keys with count > max_block_
+       size are salted into ceil(n/max_block_size) sub-blocks with
+       full (i, j) cross-group enumeration; keys with count >
+       hard_cap (stopword blocks — e.g. firstTokenPredicate on 'the'
+       over web text) are handled per ``hard_cap_mode``:
+       - "sample" (default): keep a DETERMINISTIC uniform member
+         subset of expected size hard_cap (keep iff a splitmix-style
+         hash of (block_key, record_id) falls under hard_cap/count —
+         a pure per-row function, so output is identical across
+         parallelism and runs) and salt the survivors.  Records in
+         the block keep stochastic pair coverage instead of losing
+         the predicate entirely (the r3 VERDICT recall hole: 13
+         dropped keys = 289,548 member-rows at 237k pages).
+       - "drop": the r3 behavior — the key is dropped like a
+         stopword (WARNING-logged, metric'd, never silent).
     2. groupby(block_key[,salt]) emits ordered pairs per group;
     3. distinct over (id_a, id_b) — cross-block duplicate removal
        (the reference's SQL DISTINCT †).
 
     ``metrics`` (optional dict) receives: dropped_keys, dropped_rows,
-    salted_keys.
+    salted_keys, sampled_keys, sampled_rows_total and
+    est_pair_recall (expected surviving fraction of the affected
+    keys' within-block pairs ≈ (hard_cap/count)^2; 1.0 if no key was
+    capped).
     """
+    if hard_cap_mode not in ("sample", "drop"):
+        raise ValueError(f"unknown hard_cap_mode: {hard_cap_mode!r}")
     import logging
 
     import pyarrow.compute as pc
@@ -317,21 +337,44 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
             batch_format="pyarrow").to_pandas()
         hot_counts = ({} if hot.empty else
                       dict(zip(hot["block_key"], hot["cnt"])))
-    dropped = {k for k, c in hot_counts.items() if c > hard_cap}
+    capped = {k: c for k, c in hot_counts.items() if c > hard_cap}
+    dropped = set(capped) if hard_cap_mode == "drop" else set()
+    # sampled keys: keep rate hard_cap/c, then salt the expected
+    # hard_cap survivors like any hot key
+    sampled = ({} if hard_cap_mode == "drop" else
+               {k: hard_cap / c for k, c in capped.items()})
+    k_smp = math.ceil(hard_cap / max_block_size)
     salt_k = {k: math.ceil(c / max_block_size)
-              for k, c in hot_counts.items() if k not in dropped}
+              for k, c in hot_counts.items() if k not in capped}
+    salt_k.update({k: k_smp for k in sampled})
+    tot_pairs = sum(c * (c - 1) / 2 for c in capped.values())
+    kept_pairs = (0.0 if hard_cap_mode == "drop" else
+                  len(capped) * hard_cap * (hard_cap - 1) / 2)
+    est_recall = (1.0 if not capped else
+                  round(min(1.0, kept_pairs / tot_pairs), 4))
     if metrics is not None:
         metrics["dropped_keys"] = len(dropped)
-        metrics["dropped_rows"] = sum(hot_counts[k] for k in dropped)
-        metrics["salted_keys"] = len(salt_k)
+        metrics["dropped_rows"] = sum(capped[k] for k in dropped)
+        metrics["salted_keys"] = len(salt_k) - len(sampled)
+        metrics["sampled_keys"] = len(sampled)
+        metrics["sampled_rows_total"] = sum(capped[k] for k in sampled)
+        metrics["est_pair_recall"] = est_recall
     if dropped:
         logging.getLogger("dedupe_api_ray.blocking").warning(
             "candidate_pairs: dropped %d block keys above hard_cap=%d "
             "(%d member rows lose pair coverage); sample: %s",
             len(dropped), hard_cap,
-            sum(hot_counts[k] for k in dropped),
+            sum(capped[k] for k in dropped),
             sorted(dropped)[:5])
-    salt_ref = ray.put((salt_k, dropped))
+    if sampled:
+        logging.getLogger("dedupe_api_ray.blocking").warning(
+            "candidate_pairs: %d block keys above hard_cap=%d sampled "
+            "down to ~%d members each (%d total member rows; estimated "
+            "within-key pair recall %.3g); sample: %s",
+            len(sampled), hard_cap, hard_cap,
+            sum(capped[k] for k in sampled),
+            est_recall, sorted(sampled)[:5])
+    salt_ref = ray.put((salt_k, dropped, sampled))
 
     from dedupe_api_ray.utils import shuffle_partitions
 
@@ -349,7 +392,7 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
             "__part", pa.array(_part_of(keys), pa.int64()))
 
     def salt(batch: pa.Table) -> pa.Table:
-        ks, dr = ray.get(salt_ref)
+        ks, dr, smp = ray.get(salt_ref)
         keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
         rids = batch["record_id"].to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False)
@@ -357,6 +400,24 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         hot_mask = ser.isin(ks).to_numpy()
         drop_mask = (ser.isin(dr).to_numpy() if dr
                      else np.zeros(len(ser), bool))
+        if smp:
+            # deterministic uniform member sample of the over-cap keys:
+            # keep iff mix(block_key, record_id) < rate — a pure per-row
+            # function of the data, identical across runs/parallelism
+            smp_mask = ser.isin(smp).to_numpy()
+            if smp_mask.any():
+                kh = pd.util.hash_array(keys[smp_mask], categorize=False)
+                rh = (rids[smp_mask].astype(np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15))
+                mix = (kh ^ rh) * np.uint64(0xBF58476D1CE4E5B9)
+                mix ^= mix >> np.uint64(31)
+                rates = ser[smp_mask].map(smp).to_numpy(dtype=np.float64)
+                keep = (mix % np.uint64(1 << 32)).astype(np.float64) \
+                    < rates * float(1 << 32)
+                cut = smp_mask.copy()
+                cut[smp_mask] = ~keep  # sampled-OUT rows behave like drops
+                hot_mask &= ~cut
+                drop_mask |= cut
         plain = ~hot_mask & ~drop_mask
         o_key = [keys[plain]]
         o_rid = [rids[plain]]

@@ -38,7 +38,9 @@ def test_lsh_hot_bucket_salted_lossless(ray_session):
 
 
 def test_candidate_pairs_hard_cap_metrics(ray_session):
-    """hard_cap drops must surface in the metrics dict (never silent)."""
+    """hard_cap handling must surface in the metrics dict (never
+    silent).  Since r4 the default mode SAMPLES over-cap keys instead
+    of dropping them; the drop path stays available explicitly."""
     from dedupe_api_ray.stages.blocking import candidate_pairs
 
     bm = pa.table({
@@ -47,10 +49,18 @@ def test_candidate_pairs_hard_cap_metrics(ray_session):
     })
     metrics = {}
     pairs = candidate_pairs(ray.data.from_arrow(bm), max_block_size=10,
-                            hard_cap=20, metrics=metrics)
+                            hard_cap=20, hard_cap_mode="drop",
+                            metrics=metrics)
     assert pairs.count() == 3  # only the 'ok' block's C(3,2)
     assert metrics["dropped_keys"] == 1
     assert metrics["dropped_rows"] == 50
+    assert metrics["est_pair_recall"] == 0.0
+    # default (sample): partial hot-key coverage + recall estimate
+    m2 = {}
+    sampled = candidate_pairs(ray.data.from_arrow(bm), max_block_size=10,
+                              hard_cap=20, metrics=m2)
+    assert 3 < sampled.count() < 50 * 49 / 2
+    assert m2["sampled_keys"] == 1 and 0 < m2["est_pair_recall"] < 1
 
 
 def test_near_dup_join_path_equals_broadcast(ray_session, tiny_corpus):
@@ -320,8 +330,8 @@ def test_byte_based_broadcast_routing(ray_session):
 
 
 def test_gazetteer_canon_guard(ray_session):
-    """r3: an oversized canonical side fails loudly instead of being
-    broadcast (canopy driver_max pattern)."""
+    """r3: an oversized canonical side fails loudly in broadcast mode;
+    since r4, mode='auto' routes it to the LSH scale path instead."""
     from dedupe_api_ray.pipelines.gazetteer import gazetteer_topn
 
     ds = ray.data.from_arrow(pa.table({
@@ -329,6 +339,10 @@ def test_gazetteer_canon_guard(ray_session):
         "text": pa.array([f"alpha beta {i}" for i in range(10)]),
     })).materialize()
     with pytest.raises(RuntimeError, match="broadcast bound"):
-        gazetteer_topn(ds, ds, n=1, canon_max_rows=5)
-    # under the bound: unchanged behavior
-    assert gazetteer_topn(ds, ds, n=1, threshold=0.1).count() > 0
+        gazetteer_topn(ds, ds, n=1, canon_max_rows=5, mode="broadcast")
+    # auto above the bound: LSH path, no raise, same top-1
+    auto = gazetteer_topn(ds, ds, n=1, threshold=0.1, canon_max_rows=5)
+    exact = gazetteer_topn(ds, ds, n=1, threshold=0.1, mode="broadcast")
+    a = auto.to_pandas().sort_values(["query_id", "canon_id"]).reset_index(drop=True)
+    e = exact.to_pandas().sort_values(["query_id", "canon_id"]).reset_index(drop=True)
+    assert len(e) > 0 and a.equals(e)
