@@ -325,10 +325,14 @@ def tfidf_search_keys(queries: ray.data.Dataset, index: ray.data.Dataset,
                       field: str, threshold: float,
                       id_col: str = "record_id",
                       pred_tag: str = "search",
-                      concurrency: int | tuple = (1, 4)) -> ray.data.Dataset:
+                      concurrency: int | tuple | None = None
+                      ) -> ray.data.Dataset:
     """P21: query-side keys — one per indexed record within threshold.
     The indexed side also emits its own-id key so both sides of a
     RecordLink share keys."""
+    from dedupe_api_ray.utils import actor_pool
+    if concurrency is None:
+        concurrency = actor_pool()
     idf = build_idf(index, field)
     idf_ref = ray.put(idf)
     vecs = _tfidf_vectors(index, field, id_col, idf_ref)

@@ -165,11 +165,14 @@ def levenshtein_search_keys(queries: ray.data.Dataset,
                             index: ray.data.Dataset, field: str,
                             distance: int = 2, id_col: str = "record_id",
                             pred_tag: str = "levs",
-                            concurrency: int | tuple = (1, 4)
+                            concurrency: int | tuple | None = None
                             ) -> ray.data.Dataset:
     """P22 search: query keys = ids of all indexed values within
     ``distance``; the BK-tree is built once per actor from a broadcast
     of the indexed side."""
+    from dedupe_api_ray.utils import actor_pool
+    if concurrency is None:
+        concurrency = actor_pool()
     import ray as _ray
 
     rows = _collect_values(index, field, id_col)

@@ -29,7 +29,7 @@ import ray
 import ray.data
 
 from dedupe_api_ray.functions.text import TOKEN_RE
-from dedupe_api_ray.utils import round_half_away
+from dedupe_api_ray.utils import actor_pool, round_half_away
 
 MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -190,8 +190,11 @@ class MinHasher:
 def minhash_band_rows(ds: ray.data.Dataset, num_perm: int = 64,
                       bands: int = 16, text_col: str = "text",
                       id_col: str = "doc_id",
-                      concurrency: int | tuple = (1, 8),
+                      concurrency: int | tuple | None = None,
                       shingle_size: int = 1) -> ray.data.Dataset:
+    from dedupe_api_ray.utils import actor_pool
+    if concurrency is None:
+        concurrency = actor_pool()
     return ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
@@ -392,7 +395,8 @@ def jaccard_verify_pairs(cands: ray.data.Dataset, docs: ray.data.Dataset,
         return cands.map_batches(
             JaccardVerifier,
             fn_constructor_kwargs=dict(docs_ref=docs_ref, threshold=threshold),
-            batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+            batch_format="pyarrow", concurrency=actor_pool(),
+            num_cpus=1)
 
     from dedupe_api_ray.utils import default_num_partitions
     num_partitions = default_num_partitions(None)
@@ -412,7 +416,8 @@ def jaccard_verify_pairs(cands: ray.data.Dataset, docs: ray.data.Dataset,
     return joined.map_batches(
         JoinedJaccardVerifier,
         fn_constructor_kwargs=dict(threshold=threshold),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+        batch_format="pyarrow", concurrency=actor_pool(),
+        num_cpus=1)
 
 
 # ---------------------------------------------------------------------------
@@ -472,7 +477,11 @@ class SimHasher:
 
 def simhash_table(docs: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id",
-                  concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
+                  concurrency: int | tuple | None = None
+                  ) -> ray.data.Dataset:
+    from dedupe_api_ray.utils import actor_pool
+    if concurrency is None:
+        concurrency = actor_pool()
     return docs.map_batches(SimHasher,
                             fn_constructor_kwargs=dict(text_col=text_col,
                                                        id_col=id_col),

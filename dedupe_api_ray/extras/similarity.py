@@ -19,6 +19,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from dedupe_api_ray.utils import actor_pool
+
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -69,9 +71,12 @@ def _final_topk(k: int):
 def brute_force_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
                      query_ids: np.ndarray, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
+                     concurrency: int | tuple | None = None
+                     ) -> ray.data.Dataset:
     """Exact cosine top-k of every query against the corpus.
     Output: (query_id, vec_id, score) with k rows per query."""
+    if concurrency is None:
+        concurrency = actor_pool()
     queries_ref = ray.put({"query_id": np.asarray(query_ids),
                            "matrix": np.asarray(queries, dtype=np.float64)})
     partials = embeddings.map_batches(
@@ -149,7 +154,7 @@ def ivf_build_index(embeddings: ray.data.Dataset, index_dir: str,
                 "__cent", pa.array(assign.astype(np.int64)))
 
     embeddings.map_batches(AssignCentroid, batch_format="pyarrow",
-                           concurrency=(1, 8), num_cpus=1) \
+                           concurrency=actor_pool(), num_cpus=1) \
         .write_parquet(index_dir, partition_cols=["__cent"])
     np.save(os.path.join(index_dir, "_centroids.npy"), cent)
     return cent
@@ -241,7 +246,7 @@ def ivf_topk_indexed(index_dir: str, queries: np.ndarray,
             .map_batches(_tag, batch_format="pyarrow"))
     ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     partials = ds.map_batches(ProbedTopK, batch_format="pyarrow",
-                              concurrency=(1, 8), num_cpus=1)
+                              concurrency=actor_pool(), num_cpus=1)
     return partials.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas")
 

@@ -232,9 +232,10 @@ def partition(records: ray.data.Dataset, model: Model,
             # annotate map-side (one ray.put, per-actor dict build)
             # instead of shuffling the full text payload through a
             # string-keyed hash join
+            from dedupe_api_ray.utils import actor_pool
             joined = hashed.map_batches(
                 CollapseAnnotate, fn_constructor_kwargs={"ref": rep_ref},
-                batch_format="pyarrow", concurrency=(1, 8),
+                batch_format="pyarrow", concurrency=actor_pool(),
                 num_cpus=1).materialize()
         else:
             joined = hashed.join(reps, join_type="inner",

@@ -19,7 +19,7 @@ import ray
 import ray.data
 
 from dedupe_api_ray.functions.text import TOKEN_RE
-from dedupe_api_ray.utils import round_half_away
+from dedupe_api_ray.utils import actor_pool, round_half_away
 
 
 class JaccardGazetteer:
@@ -131,7 +131,7 @@ def gazetteer_topn(queries: ray.data.Dataset, canon: ray.data.Dataset,
     matches = queries.map_batches(
         JaccardGazetteer,
         fn_constructor_kwargs=dict(canon_ref=canon_ref, threshold=threshold),
-        batch_format="pyarrow", concurrency=(1, 4), num_cpus=1)
+        batch_format="pyarrow", concurrency=actor_pool(), num_cpus=1)
     return matches.groupby("query_id").map_groups(_topn(n),
                                                   batch_format="pandas")
 

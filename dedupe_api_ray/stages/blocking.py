@@ -116,7 +116,11 @@ class Fingerprinter:
 
 
 def fingerprint_records(records: ray.data.Dataset, model: Model,
-                        concurrency: int | tuple = (1, 8)) -> ray.data.Dataset:
+                        concurrency: int | tuple | None = None
+                        ) -> ray.data.Dataset:
+    from dedupe_api_ray.utils import actor_pool
+    if concurrency is None:
+        concurrency = actor_pool()
     model_ref = ray.put(model)
     return records.map_batches(
         Fingerprinter, fn_constructor_kwargs={"model_ref": model_ref},

@@ -505,6 +505,17 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
         batch_format="pyarrow")
     labels = connected_components(edges, mode=cc_mode).materialize()
     _mark(f"components labelled rows={labels.count()}")
+    if _debug:
+        # top component sizes: the one skew signal that predicts the
+        # per-component clustering wall (O(n^2)-ish linkage under
+        # max_cluster_size, one straggler partition above it)
+        _lt = pa.concat_tables(list(labels.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        _, _cnt = np.unique(_lt["component_id"].to_numpy(
+            zero_copy_only=False), return_counts=True)
+        _cnt.sort()
+        _mark(f"top component sizes={_cnt[-10:][::-1].tolist()} "
+              f"n_components={len(_cnt)}")
     # attach component to each edge (id_a's component == id_b's for
     # retained edges).  Size-routed: a small label map (it has one row
     # per matched record) broadcasts once and annotates map-side —

@@ -97,8 +97,9 @@ def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
                         out[f"{side}_{c}"] = self.tbl[c].take(take)
                 return pa.table(out)
 
+        from dedupe_api_ray.utils import actor_pool
         return pairs.map_batches(AttachBroadcast, batch_format="pyarrow",
-                                 concurrency=(1, 8), num_cpus=1)
+                                 concurrency=actor_pool(), num_cpus=1)
 
     # large side: two hash-partitioned joins.  Arrow's hash join
     # rejects list<> payload columns, so token columns stay behind and
@@ -426,8 +427,12 @@ class PairScorer:
 
 
 def score_pairs(pairs_with_payload: ray.data.Dataset, model: Model,
-                concurrency: int | tuple = (1, 8), batch_size: int = 4096,
+                concurrency: int | tuple | None = None,
+                batch_size: int = 4096,
                 sidecar_refs=None) -> ray.data.Dataset:
+    from dedupe_api_ray.utils import actor_pool
+    if concurrency is None:
+        concurrency = actor_pool()
     model_ref = ray.put(model)
     return pairs_with_payload.map_batches(
         PairScorer, fn_constructor_kwargs={"model_ref": model_ref,

@@ -36,6 +36,24 @@ def shuffle_partitions(requested: int | None = None) -> int:
     return max(8, cpus * 2)
 
 
+def actor_pool(min_actors: int = 1, max_cap: int | None = None
+               ) -> tuple[int, int]:
+    """Default (min, max) for stateful map_batches actor pools: max
+    scales with the cluster's CPU count instead of a hard-coded 8 —
+    a fixed cap silently serializes the stage on bigger clusters (a
+    32-CPU session ran Fingerprinter on 8 actors, so the stage's wall
+    was identical at 8 and 32 CPUs and strong-scaling efficiency paid
+    the whole stage as serial floor)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    hi = max(8, cpus)
+    if max_cap is not None:
+        hi = min(hi, max_cap)
+    return (min_actors, max(min_actors, hi))
+
+
 def round_half_away(x, ndigits: int = 6):
     """Decimal rounding with ties AWAY from zero — the SQL (DuckDB /
     ANSI) convention.  np.round is banker's (half-to-even) and silently
