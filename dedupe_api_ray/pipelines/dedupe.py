@@ -315,6 +315,7 @@ def partition(records: ray.data.Dataset, model: Model,
     def do_score():
         from dedupe_api_ray.stages.scoring import build_tf_sidecar
         sidecar = build_tf_sidecar(fuzzy_input, model)
+        _mark('tf sidecar built')
         # Text fields whose cosine comes from the sidecar ship NO raw
         # column with the pairs (a field also used by a non-Text,
         # non-Interaction def still ships for that kernel).  Without
@@ -330,11 +331,34 @@ def partition(records: ray.data.Dataset, model: Model,
         # stage, leaving most CPUs idle while the first actors drain
         # the queue (measured ~7.6x effective parallelism on 32 CPUs).
         pairs_mat = pairs.materialize()
+        _mark(f'pairs materialized n={pairs_mat.count()}')
         conc = scorer_concurrency
         if isinstance(conc, tuple) and conc[0] < conc[1]:
             lo = max(conc[0], min(conc[1],
                                   pairs_mat.count() // 250_000 + 1))
             conc = (lo, conc[1])
+        # payload routing: small records side → FUSED broadcast (each
+        # scorer actor gathers record columns itself — no separate
+        # AttachBroadcast pool competing for the same CPUs, no extra
+        # pass of every pair's payload through the object store);
+        # large side → the two-sided hash join via attach_payload.
+        from dedupe_api_ray.stages.scoring import _payload_columns
+        from dedupe_api_ray.utils import should_broadcast as _sb
+        pay_cols = _payload_columns(model, exclude=sidecar_only)
+        if not pay_cols:
+            # every feature is sidecar-covered: bare pairs, no payload
+            return score_pairs(pairs_mat, model, concurrency=conc,
+                               sidecar_refs=sidecar)
+        if _sb(fuzzy_input):
+            sel = fuzzy_input.select_columns([id_col, *pay_cols])
+            if id_col != "record_id":
+                sel = sel.rename_columns({id_col: "record_id"})
+            pay_tbl = pa.concat_tables(list(sel.iter_batches(
+                batch_format="pyarrow", batch_size=65536)))
+            return score_pairs(pairs_mat, model, concurrency=conc,
+                               sidecar_refs=sidecar,
+                               payload_ref=ray.put(pay_tbl),
+                               payload_cols=pay_cols)
         with_payload = attach_payload(pairs_mat, fuzzy_input, model,
                                       num_partitions=num_partitions,
                                       exclude_fields=sidecar_only)

@@ -214,10 +214,15 @@ def build_tf_sidecar(records: ray.data.Dataset, model: Model,
         return None
     n_records = records.count()
     if num_shards is None:
-        # ~50k records per shard so assembly parallelizes, capped at
-        # the shuffle partition count
-        num_shards = max(1, min(shuffle_partitions(),
-                                n_records // 50_000 + 1))
+        # ~15k records per shard so the shard shuffle + assembly use
+        # the cluster (5 shards at 237k records made the whole sidecar
+        # build run on 5 tasks — ~11 s of CPU-count-independent wall),
+        # capped at 16: the scorer splits each pair batch into
+        # (shard_a, shard_b) combo segments, and k^2 segments per
+        # 4096-pair batch must stay coarse enough to amortize the
+        # per-segment numpy overhead (16^2=256 → ~16 pairs/segment).
+        num_shards = max(1, min(shuffle_partitions(), 16,
+                                n_records // 15_000 + 1))
     refs = {}
     for field in text_fields:
         idf = model.idf.get(field)
@@ -262,7 +267,8 @@ class PairScorer:
 
     _CACHE_CAP = 500_000  # per-actor entries; cleared when exceeded
 
-    def __init__(self, model_ref, sidecar_refs=None):
+    def __init__(self, model_ref, sidecar_refs=None, payload_ref=None,
+                 payload_cols=None):
         self.model: Model = ray.get(model_ref) if isinstance(
             model_ref, ray.ObjectRef) else model_ref
         self.dm = self.model.data_model()
@@ -270,6 +276,20 @@ class PairScorer:
         self.text_fields = [f.field for f in self.model.field_defs
                             if f.type == "Text"]
         self._tf_cache: dict[tuple[str, int], tuple] = {}
+        # fused broadcast payload: when the records side is small the
+        # scorer gathers a_/b_ columns ITSELF (sorted-rid searchsorted
+        # over a zero-copy plasma table) instead of a separate
+        # AttachBroadcast pool — two chained full-size actor pools
+        # oversubscribed the CPUs 2x and pushed every pair's payload
+        # through the object store once more (measured 132 CPU-s +
+        # half the scoring-stage thrash at 474k pages / 77M pairs).
+        self.payload = None
+        if payload_ref is not None:
+            tbl = ray.get(payload_ref)
+            rid = tbl["record_id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(rid, kind="stable")
+            self.payload = (rid[order], tbl.take(pa.array(order)),
+                            list(payload_cols or []))
         # sidecar: shared per-record cosine state, rid-hash-sharded.
         # ray.get of the shard block tables is a zero-copy plasma read;
         # np.frombuffer views the shared buffers — no per-actor rebuild.
@@ -406,6 +426,14 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         recs_a: dict[str, list] = {}
         recs_b: dict[str, list] = {}
+        if self.payload is not None:
+            sorted_rid, ptbl, pcols = self.payload
+            for side in ("a", "b"):
+                ids = batch[f"id_{side}"].to_numpy(zero_copy_only=False)
+                take = pa.array(np.searchsorted(sorted_rid, ids))
+                recs = recs_a if side == "a" else recs_b
+                for c in pcols:
+                    recs[c] = ptbl[c].take(take).to_pylist()
         names = set(batch.column_names)
         for c in self.cols:
             if f"a_{c}" not in names:
@@ -429,13 +457,19 @@ class PairScorer:
 def score_pairs(pairs_with_payload: ray.data.Dataset, model: Model,
                 concurrency: int | tuple | None = None,
                 batch_size: int = 4096,
-                sidecar_refs=None) -> ray.data.Dataset:
+                sidecar_refs=None, payload_ref=None,
+                payload_cols=None) -> ray.data.Dataset:
+    """``payload_ref``/``payload_cols``: fused broadcast-payload mode —
+    the input carries bare (id_a, id_b) pairs and each scorer actor
+    gathers the record columns itself (see PairScorer.__init__)."""
     from dedupe_api_ray.utils import actor_pool
     if concurrency is None:
         concurrency = actor_pool()
     model_ref = ray.put(model)
     return pairs_with_payload.map_batches(
         PairScorer, fn_constructor_kwargs={"model_ref": model_ref,
-                                           "sidecar_refs": sidecar_refs},
+                                           "sidecar_refs": sidecar_refs,
+                                           "payload_ref": payload_ref,
+                                           "payload_cols": payload_cols},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
