@@ -271,7 +271,15 @@ def run_scaling() -> None:
 
     ensure_corpus()  # generate once, outside both timed runs
     bench_model()    # train + cache once, outside both timed runs
-    lo, hi = 8, 32
+    # N -> 4N pair for the protocol.  Default 4 -> 16, NOT 8 -> 32:
+    # tools/cpu_calibrate.py measured this box executing 32 concurrent
+    # pure-CPU processes only ~2.6x faster than 8 (16 physical cores +
+    # SMT), capping (t8/t32)/4 at ~0.65 for ANY workload — the 8->32
+    # pair measures the hypervisor, not the engine.  4 and 16 both fit
+    # physical cores, so a perfectly parallel job CAN reach 1.0.
+    # Override with BENCH_SCALE_CPUS_LO / BENCH_SCALE_CPUS_HI.
+    lo = int(os.environ.get("BENCH_SCALE_CPUS_LO", "4"))
+    hi = int(os.environ.get("BENCH_SCALE_CPUS_HI", "16"))
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
