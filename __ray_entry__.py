@@ -816,12 +816,15 @@ def _q_embedding_near_dup(sf_dir: str):
     embedding_near_dup_lsh, rows-only)."""
     from dedupe_api_ray.extras.dedup import embedding_near_dup_pairs
 
-    out = embedding_near_dup_pairs(_read(sf_dir, "embeddings"),
-                                   threshold=0.35, num_buckets=0)
-    return out.map_batches(
-        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
-                            "cosine": _r(t["cosine"], 4)}),
-        batch_format="pyarrow")
+    # decimals=4 → ONE rounding, matching the oracle's ROUND(x, 4)
+    # directly (engine-default 6 then 4 here double-rounds: a cosine
+    # of 0.37784999… flips to 0.3779 while the oracle says 0.3778)
+    return embedding_near_dup_pairs(_read(sf_dir, "embeddings"),
+                                    threshold=0.35, num_buckets=0,
+                                    decimals=4) \
+        .map_batches(
+            lambda t: t.select(["id_a", "id_b", "cosine"]),
+            batch_format="pyarrow")
 
 
 # Pinned LSH constants, shared by _q_embedding_near_dup_lsh AND its

@@ -681,7 +681,8 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
                              vec_col: str = "embedding",
                              num_buckets: int | None = 8,
                              multiprobe: int = 0,
-                             seed: int = 42) -> ray.data.Dataset:
+                             seed: int = 42,
+                             decimals: int = 6) -> ray.data.Dataset:
     """Near-dup pairs by cosine >= threshold.  Scale shape: random-
     hyperplane LSH buckets (sign bits of r.v projections) co-locate
     likely-similar vectors, then exact cosine within each bucket.
@@ -746,8 +747,13 @@ def embedding_near_dup_pairs(embeddings: ray.data.Dataset,
         keep = sim[ia, ib] >= threshold
         lo = np.minimum(ids[ia[keep]], ids[ib[keep]])
         hi = np.maximum(ids[ia[keep]], ids[ib[keep]])
+        # round ONCE at the caller-requested precision: rounding at 6
+        # here and again at 4 in a consumer is a double-round (e.g.
+        # 0.37784999… → 0.377850 → 0.3779, while a single ROUND(x, 4)
+        # — what a SQL oracle computes — gives 0.3778)
         return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cosine": round_half_away(sim[ia[keep], ib[keep]])})
+                             "cosine": round_half_away(
+                                 sim[ia[keep], ib[keep]], decimals)})
 
     bucketed = embeddings.map_batches(bucketize, batch_format="pyarrow")
     pairs = bucketed.groupby("bucket").map_groups(bucket_pairs,

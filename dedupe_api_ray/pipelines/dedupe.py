@@ -83,6 +83,7 @@ def partition(records: ray.data.Dataset, model: Model,
               ckpt_dir: str | None = None,
               max_block_size: int = 500,
               hard_cap: int = 20_000,
+              max_sampled_pairs: int = 200_000,
               scorer_concurrency: int | tuple = 8,
               cc_mode: str = "auto",
               exact_collapse: bool = True,
@@ -303,13 +304,15 @@ def partition(records: ray.data.Dataset, model: Model,
                                   build_blocking_map)
     _mark('blocking_map stage defined')
 
-    pairs_fp = fingerprint_of(blocking_fp, "pairs", max_block_size, hard_cap)
+    pairs_fp = fingerprint_of(blocking_fp, "pairs", max_block_size, hard_cap,
+                              max_sampled_pairs)
     # caller-visible blocking observability (dropped/salted keys)
     pair_metrics: dict = metrics if metrics is not None else {}
     pairs = ckpt.run_stage(
         "pairs", pairs_fp,
         lambda: candidate_pairs(blocking_map, max_block_size=max_block_size,
-                                hard_cap=hard_cap, metrics=pair_metrics),
+                                hard_cap=hard_cap, metrics=pair_metrics,
+                                max_sampled_pairs=max_sampled_pairs),
         metrics=pair_metrics)
 
     def do_score():

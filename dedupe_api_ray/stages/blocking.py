@@ -267,7 +267,8 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
                     max_block_size: int = 500,
                     hard_cap: int = 20_000,
                     metrics: dict | None = None,
-                    hard_cap_mode: str = "sample") -> ray.data.Dataset:
+                    hard_cap_mode: str = "sample",
+                    max_sampled_pairs: int = 200_000) -> ray.data.Dataset:
     """blocking_map (block_key, record_id) → distinct ordered pairs.
 
     1. per-key counts (small aggregate); keys with count > max_block_
@@ -276,13 +277,22 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
        hard_cap (stopword blocks — e.g. firstTokenPredicate on 'the'
        over web text) are handled per ``hard_cap_mode``:
        - "sample" (default): keep a DETERMINISTIC uniform member
-         subset of expected size hard_cap (keep iff a splitmix-style
-         hash of (block_key, record_id) falls under hard_cap/count —
-         a pure per-row function, so output is identical across
-         parallelism and runs) and salt the survivors.  Records in
-         the block keep stochastic pair coverage instead of losing
-         the predicate entirely (the r3 VERDICT recall hole: 13
-         dropped keys = 289,548 member-rows at 237k pages).
+         subset (keep iff a splitmix-style hash of (block_key,
+         record_id) falls under target/count — a pure per-row
+         function, so output is identical across parallelism and
+         runs) and salt the survivors.  Records in the block keep
+         stochastic pair coverage instead of losing the predicate
+         entirely (the r3 VERDICT recall hole: 13 dropped keys =
+         289,548 member-rows at 237k pages).  The member target is
+         min(hard_cap, ~sqrt(2·max_sampled_pairs)): a stopword
+         block's surviving PAIR volume is capped at
+         ~``max_sampled_pairs``, because a member cap alone is
+         quadratic in pairs — sampling to hard_cap=2000 members
+         still emitted ~2M pairs PER KEY into the scorer (~38M junk
+         pairs at 474k pages, half the scoring stage) for a
+         within-key recall that is ≈0 either way ((m/c)² with
+         c ≫ m; true dups in stopword blocks are recovered by their
+         other, selective predicates).
        - "drop": the r3 behavior — the key is dropped like a
          stopword (WARNING-logged, metric'd, never silent).
     2. groupby(block_key[,salt]) emits ordered pairs per group;
@@ -343,17 +353,21 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
                       dict(zip(hot["block_key"], hot["cnt"])))
     capped = {k: c for k, c in hot_counts.items() if c > hard_cap}
     dropped = set(capped) if hard_cap_mode == "drop" else set()
-    # sampled keys: keep rate hard_cap/c, then salt the expected
-    # hard_cap survivors like any hot key
+    # member sample target: pair volume per capped key stays under
+    # ~max_sampled_pairs (C(m, 2) <= budget), never above hard_cap
+    m_tgt = min(hard_cap,
+                int((1 + math.sqrt(1 + 8 * max_sampled_pairs)) / 2))
+    # sampled keys: keep rate m_tgt/c, then salt the expected m_tgt
+    # survivors like any hot key
     sampled = ({} if hard_cap_mode == "drop" else
-               {k: hard_cap / c for k, c in capped.items()})
-    k_smp = math.ceil(hard_cap / max_block_size)
+               {k: m_tgt / c for k, c in capped.items()})
+    k_smp = math.ceil(m_tgt / max_block_size)
     salt_k = {k: math.ceil(c / max_block_size)
               for k, c in hot_counts.items() if k not in capped}
     salt_k.update({k: k_smp for k in sampled})
     tot_pairs = sum(c * (c - 1) / 2 for c in capped.values())
     kept_pairs = (0.0 if hard_cap_mode == "drop" else
-                  len(capped) * hard_cap * (hard_cap - 1) / 2)
+                  len(capped) * m_tgt * (m_tgt - 1) / 2)
     est_recall = (1.0 if not capped else
                   round(min(1.0, kept_pairs / tot_pairs), 4))
     if metrics is not None:
@@ -362,6 +376,7 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         metrics["salted_keys"] = len(salt_k) - len(sampled)
         metrics["sampled_keys"] = len(sampled)
         metrics["sampled_rows_total"] = sum(capped[k] for k in sampled)
+        metrics["sample_target_members"] = m_tgt if sampled else 0
         metrics["est_pair_recall"] = est_recall
     if dropped:
         logging.getLogger("dedupe_api_ray.blocking").warning(
@@ -373,9 +388,10 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     if sampled:
         logging.getLogger("dedupe_api_ray.blocking").warning(
             "candidate_pairs: %d block keys above hard_cap=%d sampled "
-            "down to ~%d members each (%d total member rows; estimated "
-            "within-key pair recall %.3g); sample: %s",
-            len(sampled), hard_cap, hard_cap,
+            "down to ~%d members each (pair budget %d/key; %d total "
+            "member rows; estimated within-key pair recall %.3g); "
+            "sample: %s",
+            len(sampled), hard_cap, m_tgt, max_sampled_pairs,
             sum(capped[k] for k in sampled),
             est_recall, sorted(sampled)[:5])
     salt_ref = ray.put((salt_k, dropped, sampled))

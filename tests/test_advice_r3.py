@@ -161,6 +161,34 @@ def test_hard_cap_sampling_keeps_partial_coverage(ray_session):
     assert s1.equals(s2)
 
 
+def test_hard_cap_sample_pair_budget(ray_session):
+    """Sampled stopword keys are pair-BUDGETED: a member cap alone is
+    quadratic in surviving pairs (2M pairs/key at hard_cap=2000 — half
+    the 474k-page scoring stage for ~0 recall), so the member sample
+    target is min(hard_cap, ~sqrt(2*max_sampled_pairs))."""
+    import pyarrow as pa
+
+    from dedupe_api_ray.stages.blocking import candidate_pairs
+
+    n = 3000
+    bm = ray.data.from_arrow(pa.table({
+        "block_key": pa.array(["stop"] * n, pa.string()),
+        "record_id": pa.array(list(range(n)), pa.int64())}))
+
+    m: dict = {}
+    got = candidate_pairs(bm, max_block_size=20, hard_cap=200,
+                          max_sampled_pairs=500, metrics=m).count()
+    # budget 500 -> member target ~32 (C(32,2)=496): far below the
+    # member-cap-only volume C(200,2)=19900
+    assert m["sample_target_members"] < 40
+    assert got < 2_000
+    # the budget never RAISES the member target above hard_cap
+    m2: dict = {}
+    candidate_pairs(bm, max_block_size=20, hard_cap=50,
+                    max_sampled_pairs=10**9, metrics=m2).count()
+    assert m2["sample_target_members"] == 50
+
+
 def test_gazetteer_lsh_mode_matches_broadcast(ray_session):
     """VERDICT #6: the LSH scale mode (no broadcast of either side)
     yields the same per-query top-n as the exact broadcast scan."""
