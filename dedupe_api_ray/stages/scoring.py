@@ -185,6 +185,13 @@ def _assemble_shard(g) -> pa.Table:
             hlists[k], dtype=np.int64).astype(np.uint64)
         flat_w[offsets[j]:offsets[j + 1]] = np.asarray(wlists[k])
     norms = g["norm"].to_numpy().astype(np.float64)[order]
+    # per-shard token vocabulary + per-token RANKS: the scorer's
+    # merge-intersect packs (pair, rank) into ONE uint64 searchsorted
+    # key — a 4-byte rank gather plus one binary search replaces the
+    # two-key int64 lexsort over every gathered token (the radix sort
+    # passes were the scoring stage's dominant memory traffic)
+    vocab, inv = np.unique(flat_h, return_inverse=True)
+    ranks = inv.astype(np.uint32)
     return pa.table({
         "shard": pa.array([int(g["shard"].iloc[0])], pa.int64()),
         "rid": pa.array([rid[order].tobytes()], pa.large_binary()),
@@ -192,6 +199,8 @@ def _assemble_shard(g) -> pa.Table:
         "hashes": pa.array([flat_h.tobytes()], pa.large_binary()),
         "weights": pa.array([flat_w.tobytes()], pa.large_binary()),
         "norms": pa.array([norms.tobytes()], pa.large_binary()),
+        "vocab": pa.array([vocab.tobytes()], pa.large_binary()),
+        "ranks": pa.array([ranks.tobytes()], pa.large_binary()),
     })
 
 
@@ -310,6 +319,10 @@ class PairScorer:
                                           dtype=np.float64),
                             np.frombuffer(tbl["norms"][i].as_buffer(),
                                           dtype=np.float64),
+                            np.frombuffer(tbl["vocab"][i].as_buffer(),
+                                          dtype=np.uint64),
+                            np.frombuffer(tbl["ranks"][i].as_buffer(),
+                                          dtype=np.uint32),
                         )
                 self.sidecar[field] = {"k": meta["k"], "shards": shards}
 
@@ -327,11 +340,22 @@ class PairScorer:
         return gather, pair_local
 
     def _cosine_group(self, out, seg, ga, gb, sa, sb) -> None:
-        """Vectorized cosine for one (shard_a, shard_b) pair group:
-        segment gather + single lexsort merge-intersect across all
-        pairs — no per-pair Python work."""
-        rid_a, offs_a, fh_a, fw_a, norms_a = sa
-        rid_b, offs_b, fh_b, fw_b, norms_b = sb
+        """Vectorized cosine for one (shard_a, shard_b) pair group.
+
+        Intersection shape: each record's tokens are stored sorted, so
+        the a-side gathered as ``(pair_local << 32) | (rank << 1)`` is
+        a GLOBALLY sorted uint64 key array, and one ``searchsorted``
+        of the b-side keys (b hashes translated into a's per-shard
+        rank space; non-members get odd keys that can never match)
+        finds every common token.  This replaces the earlier two-key
+        int64 lexsort over all gathered tokens — the radix-sort passes
+        were the scoring stage's dominant memory traffic — with a
+        4-byte rank gather and binary searches.  Matched products are
+        accumulated per pair in ascending-hash order (b-side storage
+        order), the SAME summation order as the lexsort merge, so
+        scores are bit-identical."""
+        rid_a, offs_a, fh_a, fw_a, norms_a, voc_a, frk_a = sa
+        rid_b, offs_b, fh_b, fw_b, norms_b, voc_b, frk_b = sb
         ja = np.searchsorted(rid_a, ga)
         jb = np.searchsorted(rid_b, gb)
         ok_a = (ja < len(rid_a)) & (rid_a[np.minimum(ja, len(rid_a) - 1)] == ga)
@@ -346,16 +370,26 @@ class PairScorer:
         idx = seg[valid]
         gather_a, pe_a = self._expand(offs_a, lens_a, ja, valid)
         gather_b, pe_b = self._expand(offs_b, lens_b, jb, valid)
-        pair_all = np.concatenate([pe_a, pe_b])
-        hash_all = np.concatenate([fh_a[gather_a], fh_b[gather_b]])
-        w_all = np.concatenate([fw_a[gather_a], fw_b[gather_b]])
-        order = np.lexsort((hash_all, pair_all))
-        ps = pair_all[order]
-        hs = hash_all[order]
-        ws = w_all[order]
-        eq = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        ka = ((pe_a.astype(np.uint64) << np.uint64(32))
+              | (frk_a[gather_a].astype(np.uint64) << np.uint64(1)))
+        if sa is sb:
+            rb = frk_b[gather_b].astype(np.uint64) << np.uint64(1)
+        else:
+            bh = fh_b[gather_b]
+            pv = np.searchsorted(voc_a, bh)
+            pv = np.minimum(pv, len(voc_a) - 1)
+            nonmem = voc_a[pv] != bh
+            rb = ((pv.astype(np.uint64) << np.uint64(1))
+                  | nonmem.astype(np.uint64))
+        kb = (pe_b.astype(np.uint64) << np.uint64(32)) | rb
+        pos = np.searchsorted(ka, kb)
+        pos = np.minimum(pos, len(ka) - 1)
+        m = ka[pos] == kb
         num = np.zeros(len(idx), dtype=np.float64)
-        np.add.at(num, ps[1:][eq], ws[1:][eq] * ws[:-1][eq])
+        if m.any():
+            num = np.bincount(
+                pe_b[m], weights=fw_a[gather_a[pos[m]]] * fw_b[gather_b[m]],
+                minlength=len(idx))
         v = num / (norms_a[ja[valid]] * norms_b[jb[valid]])
         np.minimum(v, 1.0, out=v)
         out[idx] = v

@@ -5,6 +5,7 @@ one-sided salted cross segments, and half-away-from-zero rounding."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 import ray
 import ray.data
@@ -38,6 +39,48 @@ def test_partition_text_only_model_with_candidate_pairs(ray_session):
     m = dict(zip(em["record_id"], em["cluster_id"]))
     assert m[1] == m[2] == 1          # near-identical texts cluster
     assert m[4] == 4                  # singleton stays itself
+
+
+def test_sidecar_cosine_matches_scalar_kernel(ray_session):
+    """The rank-composite searchsorted intersection (r4 rewrite of the
+    lexsort merge) must equal the scalar cosine kernel on every pair —
+    including cross-shard pairs, zero-overlap pairs, featureless docs
+    and ids absent from the sidecar."""
+    import itertools
+
+    from dedupe_api_ray.functions.kernels import cosine_similarity
+    from dedupe_api_ray.functions.text import tokens_of
+    from dedupe_api_ray.stages.scoring import PairScorer, build_tf_sidecar
+
+    rng = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 25)).tolist())
+             for _ in range(30)]
+    texts[7] = ""                     # featureless doc
+    texts[11] = "zzz yyy xxx"         # zero overlap with most
+    ids = list(range(100, 130))       # ids spread over shards (% k)
+    docs = ray.data.from_arrow(pa.table({
+        "record_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    model = _text_only_model()
+    sidecar = build_tf_sidecar(docs, model, num_shards=4)
+    scorer = PairScorer(model, sidecar_refs=sidecar)
+
+    pairs = [(a, b) for a, b in itertools.combinations(ids, 2)]
+    pairs.append((ids[0], 999_999))   # id absent from the sidecar
+    batch = pa.table({
+        "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "id_b": pa.array([p[1] for p in pairs], pa.int64())})
+    got = scorer._cosine_sidecar("text", batch)
+    by_id = dict(zip(ids, texts))
+    for (a, b), v in zip(pairs, got):
+        ta, tb = (tokens_of(by_id.get(a, "")) or None,
+                  tokens_of(by_id.get(b, "")) or None)
+        want = cosine_similarity(ta, tb)
+        if np.isnan(want):
+            assert np.isnan(v), (a, b)
+        else:
+            assert v == pytest.approx(want, abs=1e-9), (a, b)
 
 
 def test_single_edge_cluster_id_is_min_for_unordered_pairs(ray_session):
