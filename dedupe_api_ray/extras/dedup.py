@@ -216,9 +216,13 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset,
     drops are logged + reported via ``metrics``."""
     from dedupe_api_ray.stages.blocking import candidate_pairs
 
+    # band keys stay int64 end-to-end: candidate_pairs is key-dtype-
+    # agnostic, and at web scale the count/salt/shuffle path over
+    # millions of mostly-singleton buckets is far cheaper on 8-byte
+    # ints than on their ~20-char string casts
     bm = band_rows.map_batches(
         lambda t: pa.table({
-            "block_key": pc.cast(t["band_key"], pa.string()),
+            "block_key": t["band_key"],
             "record_id": t["doc_id"]}),
         batch_format="pyarrow")
     return candidate_pairs(bm, max_block_size=max_bucket,

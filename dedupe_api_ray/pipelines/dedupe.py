@@ -200,6 +200,8 @@ def partition(records: ray.data.Dataset, model: Model,
                 return t.append_column("rep_id", pa.array(rid, pa.int64()))
 
         rep_ref = None
+        narrow = None
+        rep_tbl = None
         if hashed.count() <= COLLAPSE_DRIVER_MAX:
             # modest corpus: the NARROW (row_hash, id) projection fits
             # the driver (≤ ~200 MB) — one vectorized Arrow group_by
@@ -213,9 +215,10 @@ def partition(records: ray.data.Dataset, model: Model,
                 narrow = pa.concat_tables(nbatches)
                 g = narrow.group_by("row_hash").aggregate(
                     [(id_col, "min")])
-                rep_ref = ray.put(pa.table({
+                rep_tbl = pa.table({
                     "row_hash": g["row_hash"].combine_chunks(),
-                    "rep_id": pc.cast(g[f"{id_col}_min"], pa.int64())}))
+                    "rep_id": pc.cast(g[f"{id_col}_min"], pa.int64())})
+                rep_ref = ray.put(rep_tbl)
             else:  # typed-empty input: nothing to collapse
                 rep_ref = ray.put(pa.table({
                     "row_hash": pa.array([], pa.string()),
@@ -229,7 +232,47 @@ def partition(records: ray.data.Dataset, model: Model,
                 rep_tbl = pa.concat_tables(list(reps.iter_batches(
                     batch_format="pyarrow", batch_size=1 << 20)))
                 rep_ref = ray.put(rep_tbl)
-        if rep_ref is not None:
+        if narrow is not None and rep_tbl is not None:
+            # driver fast path: the narrow (row_hash, id) projection is
+            # ALREADY on the driver, so dupes_map is one vectorized
+            # searchsorted here — and fuzzy_input becomes a single
+            # fused annotate+filter pass over `hashed`.  This removes
+            # the `joined` materialize (a full-corpus round-trip
+            # through plasma) and the separate dup_fn corpus scan:
+            # ~7 s of CPU-count-invariant wall at 474k pages.
+            keys = np.asarray(narrow["row_hash"].to_pylist(), dtype="S32")
+            ids = narrow[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            rkeys = np.asarray(rep_tbl["row_hash"].to_pylist(), dtype="S32")
+            rorder = np.argsort(rkeys, kind="stable")
+            reps_sorted = rep_tbl["rep_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[rorder]
+            rep_of = reps_sorted[np.searchsorted(rkeys[rorder], keys)]
+            dmask = ids != rep_of
+            dupes_map = ray.data.from_arrow(pa.table({
+                id_col: pa.array(ids[dmask], pa.int64()),
+                "rep_id": pa.array(rep_of[dmask], pa.int64())}))
+
+            class CollapseFuzzy(CollapseAnnotate):
+                """Keep only representative rows; drop the hash col."""
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    probe = np.asarray(t["row_hash"].to_pylist(),
+                                       dtype="S32")
+                    rid = self.reps[np.searchsorted(self.keys, probe)]
+                    keep = t[id_col].to_numpy(
+                        zero_copy_only=False) == rid
+                    return t.filter(pa.array(keep)) \
+                        .drop_columns(["row_hash"])
+
+            from dedupe_api_ray.utils import actor_pool
+            fuzzy_input = hashed.map_batches(
+                CollapseFuzzy, fn_constructor_kwargs={"ref": rep_ref},
+                batch_format="pyarrow", concurrency=actor_pool(),
+                num_cpus=1)
+            _mark("collapse fused (driver dupes_map)")
+            joined = None
+        elif rep_ref is not None:
             # annotate map-side (one ray.put, per-actor dict build)
             # instead of shuffling the full text payload through a
             # string-keyed hash join
@@ -250,9 +293,13 @@ def partition(records: ray.data.Dataset, model: Model,
             # (coalesce mode: linear block split/merge, NOT an
             # all-to-all) folds the empties into typed blocks.
             joined = joined.repartition(num_partitions).materialize()
-        _mark("collapse join materialized")
-        jschema_obj = joined.schema()
-        if jschema_obj is None or not jschema_obj.names:
+        if joined is None:
+            jschema_obj = None  # driver fast path set fuzzy_input above
+        else:
+            _mark("collapse join materialized")
+            jschema_obj = joined.schema()
+        if joined is not None and (
+                jschema_obj is None or not jschema_obj.names):
             # partition() called on an EMPTY records dataset: the
             # materialized join has no schema at all (Ray 2.49).  The
             # entity map is empty by definition — return it typed.
@@ -260,26 +307,29 @@ def partition(records: ray.data.Dataset, model: Model,
                 "record_id": pa.array([], pa.int64()),
                 "cluster_id": pa.array([], pa.int64()),
                 "confidence": pa.array([], pa.float64())}))
-        jschema: pa.Schema = jschema_obj.base_schema
-        dup_schema = pa.schema([jschema.field(id_col),
-                                jschema.field("rep_id")])
-        fuzzy_schema = pa.schema([f for f in jschema
-                                  if f.name not in ("row_hash", "rep_id")])
+        if joined is not None:
+            jschema: pa.Schema = jschema_obj.base_schema
+            dup_schema = pa.schema([jschema.field(id_col),
+                                    jschema.field("rep_id")])
+            fuzzy_schema = pa.schema([f for f in jschema
+                                      if f.name not in ("row_hash",
+                                                        "rep_id")])
 
-        def dup_fn(t: pa.Table, _s=dup_schema) -> pa.Table:
-            if t.num_columns == 0:  # unreachable post-repartition; safety
-                return _s.empty_table()
-            return t.filter(pc.not_equal(t[id_col], t["rep_id"])) \
-                .select([id_col, "rep_id"])
+            def dup_fn(t: pa.Table, _s=dup_schema) -> pa.Table:
+                if t.num_columns == 0:  # unreachable post-repartition
+                    return _s.empty_table()
+                return t.filter(pc.not_equal(t[id_col], t["rep_id"])) \
+                    .select([id_col, "rep_id"])
 
-        def fuzzy_fn(t: pa.Table, _s=fuzzy_schema) -> pa.Table:
-            if t.num_columns == 0:  # unreachable post-repartition; safety
-                return _s.empty_table()
-            return t.filter(pc.equal(t[id_col], t["rep_id"])) \
-                .drop_columns(["row_hash", "rep_id"])
+            def fuzzy_fn(t: pa.Table, _s=fuzzy_schema) -> pa.Table:
+                if t.num_columns == 0:  # unreachable post-repartition
+                    return _s.empty_table()
+                return t.filter(pc.equal(t[id_col], t["rep_id"])) \
+                    .drop_columns(["row_hash", "rep_id"])
 
-        dupes_map = joined.map_batches(dup_fn, batch_format="pyarrow")
-        fuzzy_input = joined.map_batches(fuzzy_fn, batch_format="pyarrow")
+            dupes_map = joined.map_batches(dup_fn, batch_format="pyarrow")
+            fuzzy_input = joined.map_batches(fuzzy_fn,
+                                             batch_format="pyarrow")
 
     fuzzy_input = add_tokens(fuzzy_input, model.field_defs)
     fuzzy_input = fuzzy_input.materialize()

@@ -142,6 +142,12 @@ def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
     """One hash PARTITION of block keys (many keys per call) → ordered
     candidate pairs, fully vectorized.
 
+    ``salt_code`` (optional int column): sub-block id for salted hot
+    keys (0 = unsalted).  A salted group is (block_key, salt_code) —
+    the key column itself stays its ORIGINAL dtype (string predicates
+    or int64 LSH band keys alike), instead of the r3 scheme of
+    formatting 'key#i.j' strings per hot row.
+
     Replaces the r2 per-block-key ``map_groups`` (one pandas call per
     key — ~50 µs × hundreds of thousands of keys dominated the pairs
     stage): keys in the partition are factorized, rows lexsorted by
@@ -165,6 +171,9 @@ def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
     if len(g) == 0:
         return empty
     codes, _ = pd.factorize(g["block_key"].to_numpy(), sort=False)
+    if "salt_code" in g.columns:
+        sc = g["salt_code"].to_numpy().astype(np.int64, copy=False)
+        codes = codes.astype(np.int64) * (int(sc.max()) + 1) + sc
     ids = g["record_id"].to_numpy().astype(np.int64, copy=False)
     side = (g["side"].to_numpy().astype(np.int8, copy=False)
             if "side" in g.columns else np.zeros(len(g), np.int8))
@@ -399,21 +408,44 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     from dedupe_api_ray.utils import shuffle_partitions
 
     n_parts = shuffle_partitions()
+    try:
+        key_is_int = pa.types.is_integer(
+            blocking_map.schema().base_schema.field("block_key").type)
+    except Exception:  # schema-less empty input: dtype is moot
+        key_is_int = False
 
-    def _part_of(keys: np.ndarray) -> np.ndarray:
-        # deterministic string→partition hash (pandas siphash with the
-        # library-fixed key — stable across processes/runs/platforms)
-        return (pd.util.hash_array(keys, categorize=False)
-                % np.uint64(n_parts)).astype(np.int64)
+    def _key_arr(batch: pa.Table) -> np.ndarray:
+        # int64 LSH band keys stay int64 end-to-end (no string cast,
+        # no object-array hashing); predicate keys stay strings
+        if key_is_int:
+            return batch["block_key"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+        return np.asarray(batch["block_key"].to_pylist(), dtype=object)
+
+    def _key_field() -> pa.DataType:
+        return pa.int64() if key_is_int else pa.string()
+
+    def _part_of(keys: np.ndarray,
+                 salt_code: np.ndarray | None = None) -> np.ndarray:
+        # deterministic key→partition hash (pandas stable hashing —
+        # identical across processes/runs/platforms); the salt code is
+        # mixed in so a salted mega-key's sub-blocks spread across
+        # partitions instead of re-concentrating on one
+        h = pd.util.hash_array(keys, categorize=False)
+        if salt_code is not None:
+            h = (h ^ (salt_code.astype(np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15))) \
+                * np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(31)
+        return (h % np.uint64(n_parts)).astype(np.int64)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
         return batch.append_column(
-            "__part", pa.array(_part_of(keys), pa.int64()))
+            "__part", pa.array(_part_of(_key_arr(batch)), pa.int64()))
 
     def salt(batch: pa.Table) -> pa.Table:
         ks, dr, smp = ray.get(salt_ref)
-        keys = np.asarray(batch["block_key"].to_pylist(), dtype=object)
+        keys = _key_arr(batch)
         rids = batch["record_id"].to_numpy(zero_copy_only=False).astype(
             np.int64, copy=False)
         ser = pd.Series(keys)
@@ -439,32 +471,44 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
                 hot_mask &= ~cut
                 drop_mask |= cut
         plain = ~hot_mask & ~drop_mask
+        n_plain = int(plain.sum())
         o_key = [keys[plain]]
         o_rid = [rids[plain]]
-        o_side = [np.zeros(int(plain.sum()), np.int8)]
-        # Python loop only over HOT rows (rare by construction)
-        for key, rid in zip(keys[hot_mask], rids[hot_mask]):
-            k = ks[key]
-            s = int(rid) % k
-            kk, sd = [], []
-            for t in range(k):
-                i, j = (s, t) if s <= t else (t, s)
-                kk.append(f"{key}#{i}.{j}")
-                # 0 = diagonal (i, i) triangle member; cross groups tag
-                # left = -1 / right = +1 so the pair emitter can tell a
-                # one-sided cross segment from a triangle (it must emit
-                # NOTHING — its within-sub pairs belong to the diagonal
-                # groups) instead of relying on distinct_pairs downstream
-                sd.append(0 if i == j else (-1 if s == i else 1))
-            o_key.append(np.asarray(kk, dtype=object))
-            o_rid.append(np.full(k, rid, np.int64))
-            o_side.append(np.asarray(sd, np.int8))
+        o_side = [np.zeros(n_plain, np.int8)]
+        o_code = [np.zeros(n_plain, np.int32)]
+        # hot rows expand to k (sub-group) entries each, VECTORIZED per
+        # distinct k: each row's salt s = rid % k meets every t<k in
+        # sub-group (min(s,t), max(s,t)) → salt_code 1 + i*k + j.
+        # side: 0 = diagonal (i, i) triangle member; cross groups tag
+        # left = -1 / right = +1 so the pair emitter can tell a
+        # one-sided cross segment (emits NOTHING — its within-sub
+        # pairs belong to the diagonal groups) from a triangle.
+        if hot_mask.any():
+            hk = keys[hot_mask]
+            hr = rids[hot_mask]
+            kvals = pd.Series(hk).map(ks).to_numpy(dtype=np.int64)
+            for k in np.unique(kvals):
+                k = int(k)
+                m = kvals == k
+                rk, kk = hr[m], hk[m]
+                s = rk % k
+                for t in range(k):
+                    i = np.minimum(s, t)
+                    j = np.maximum(s, t)
+                    o_key.append(kk)
+                    o_rid.append(rk)
+                    o_side.append(np.where(
+                        i == j, 0, np.where(s == i, -1, 1)).astype(np.int8))
+                    o_code.append((1 + i * k + j).astype(np.int32))
         keys_o = np.concatenate(o_key)
-        return pa.table({"block_key": pa.array(keys_o, pa.string()),
+        code_o = np.concatenate(o_code)
+        return pa.table({"block_key": pa.array(keys_o, _key_field()),
                          "record_id": pa.array(np.concatenate(o_rid)),
                          "side": pa.array(np.concatenate(o_side),
                                           pa.int8()),
-                         "__part": pa.array(_part_of(keys_o), pa.int64())})
+                         "salt_code": pa.array(code_o, pa.int32()),
+                         "__part": pa.array(_part_of(keys_o, code_o),
+                                            pa.int64())})
 
     if not hot_counts:
         # no hot keys: skip the salting pass (one fewer full scan)
