@@ -378,18 +378,34 @@ def partition(records: ray.data.Dataset, model: Model,
         sidecar_only = set(sidecar or ()) - {
             f.field for f in model.field_defs
             if f.type not in ("Text", "Interaction")}
-        # pin the pairs (consumed once here; pinning makes count()
-        # free) and size the scorer pool's MINIMUM by pair volume —
-        # an autoscaling (1, N) pool ramps too slowly for a short
-        # stage, leaving most CPUs idle while the first actors drain
-        # the queue (measured ~7.6x effective parallelism on 32 CPUs).
-        pairs_mat = pairs.materialize()
-        _mark(f'pairs materialized n={pairs_mat.count()}')
+        # STREAM the pairs into the scorer (no materialize barrier):
+        # the distinct-pairs reduce partitions feed scorer actors as
+        # they finish, the scorer pool spins up DURING the pair
+        # shuffle, and 40M+ bare pairs skip one full plasma
+        # round-trip.  The pool's MINIMUM is sized from the blocking-
+        # map row count (recorded by candidate_pairs, ~free) — an
+        # autoscaling (1, N) pool otherwise ramps too slowly for a
+        # short stage (measured ~7.6x effective parallelism on 32
+        # CPUs); a checkpoint-resumed pairs stage is parquet-backed,
+        # so its count() is metadata-cheap and used directly.
+        n_hint = pair_metrics.get("blocking_rows")
+        if n_hint is None:
+            try:  # ckpt resume path: read_parquet-backed dataset
+                n_hint = pairs.count() if pairs.input_files() else None
+            except Exception:
+                n_hint = None
         conc = scorer_concurrency
         if isinstance(conc, tuple) and conc[0] < conc[1]:
-            lo = max(conc[0], min(conc[1],
-                                  pairs_mat.count() // 250_000 + 1))
+            # floor CAPPED AT HALF the pool max: a full-CPU floor of
+            # idle actors holds CPU reservations the distinct-pairs
+            # shuffle needs to produce anything at all (measured: the
+            # fused stage crawls with floor == max); the autoscaler
+            # grows the pool to max as reduce partitions drain.
+            lo = max(conc[0], min(max(1, conc[1] // 2),
+                                  (n_hint or 0) // 25_000 + 1))
             conc = (lo, conc[1])
+        pairs_mat = pairs
+        _mark(f'pairs stage defined (streaming; pool floor {conc})')
         # payload routing: small records side → FUSED broadcast (each
         # scorer actor gathers record columns itself — no separate
         # AttachBroadcast pool competing for the same CPUs, no extra

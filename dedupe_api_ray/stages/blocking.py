@@ -380,6 +380,9 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     est_recall = (1.0 if not capped else
                   round(min(1.0, kept_pairs / tot_pairs), 4))
     if metrics is not None:
+        # free post-materialize; callers size the scorer pool's floor
+        # by blocking volume WITHOUT forcing a pairs materialization
+        metrics["blocking_rows"] = blocking_map.count()
         metrics["dropped_keys"] = len(dropped)
         metrics["dropped_rows"] = sum(capped[k] for k in dropped)
         metrics["salted_keys"] = len(salt_k) - len(sampled)
