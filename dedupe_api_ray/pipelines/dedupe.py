@@ -356,6 +356,36 @@ def partition(records: ray.data.Dataset, model: Model,
 
     pairs_fp = fingerprint_of(blocking_fp, "pairs", max_block_size, hard_cap,
                               max_sampled_pairs)
+    scores_fp = fingerprint_of(pairs_fp, "scores")
+
+    # OVERLAP the TF-sidecar build with the candidate-pairs count pass:
+    # both consume only the already-materialized fuzzy_input, and each
+    # has driver-side barriers (sidecar shard assembly; hot-key count
+    # finish) that leave CPUs idle — two concurrent Ray Data executions
+    # interleave their tasks and hide each other's gaps (~10 s of the
+    # pre-scoring serial chain at 237k pages).  Skipped when the scores
+    # stage will checkpoint-resume (the sidecar would be thrown away).
+    from dedupe_api_ray.state.checkpoint import CODE_VERSION
+    _scores_man = ckpt.load_manifest("scores") if ckpt.root else None
+    _scores_cached = bool(
+        _scores_man and _scores_man.get("fingerprint") == scores_fp
+        and _scores_man.get("code_version") == CODE_VERSION)
+    _sidecar_box: dict = {}
+    _sc_th = None
+    if not _scores_cached:
+        import threading
+
+        def _sidecar_bg():
+            try:
+                from dedupe_api_ray.stages.scoring import build_tf_sidecar
+                _sidecar_box["sidecar"] = build_tf_sidecar(fuzzy_input,
+                                                           model)
+            except BaseException as e:  # re-raised on join in do_score
+                _sidecar_box["err"] = e
+        _sc_th = threading.Thread(target=_sidecar_bg, daemon=True,
+                                  name="tf-sidecar-build")
+        _sc_th.start()
+
     # caller-visible blocking observability (dropped/salted keys)
     pair_metrics: dict = metrics if metrics is not None else {}
     pairs = ckpt.run_stage(
@@ -366,8 +396,14 @@ def partition(records: ray.data.Dataset, model: Model,
         metrics=pair_metrics)
 
     def do_score():
-        from dedupe_api_ray.stages.scoring import build_tf_sidecar
-        sidecar = build_tf_sidecar(fuzzy_input, model)
+        if _sc_th is not None:
+            _sc_th.join()
+            if "err" in _sidecar_box:
+                raise _sidecar_box["err"]
+            sidecar = _sidecar_box["sidecar"]
+        else:  # scores checkpoint was expected to resume but didn't
+            from dedupe_api_ray.stages.scoring import build_tf_sidecar
+            sidecar = build_tf_sidecar(fuzzy_input, model)
         _mark('tf sidecar built')
         # Text fields whose cosine comes from the sidecar ship NO raw
         # column with the pairs (a field also used by a non-Text,
@@ -435,7 +471,6 @@ def partition(records: ray.data.Dataset, model: Model,
                            concurrency=conc,
                            sidecar_refs=sidecar)
 
-    scores_fp = fingerprint_of(pairs_fp, "scores")
     scored = ckpt.run_stage("scores", scores_fp, do_score)
     _mark('scores stage defined')
 
