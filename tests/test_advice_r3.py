@@ -259,3 +259,56 @@ def test_gazetteer_lsh_mode_matches_broadcast(ray_session):
                               mode="lsh", lsh_num_perm=64, lsh_bands=64))
     assert exact.equals(lsh), (exact, lsh)
     assert len(exact) > 0
+
+
+def test_sidecar_thread_exception_propagates(ray_session, monkeypatch):
+    """The eager (threaded) sidecar build re-raises its exception on
+    join inside do_score instead of dying silently on the daemon
+    thread and leaving the scorer with sidecar=None."""
+    import dedupe_api_ray.stages.scoring as scoring
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    def boom(records, model, num_shards=None):
+        raise RuntimeError("sidecar exploded")
+
+    monkeypatch.setattr(scoring, "build_tf_sidecar", boom)
+    docs = ray.data.from_arrow(pa.table({
+        "record_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["shared token run one",
+                          "shared token run two"], pa.string())}))
+    with pytest.raises(RuntimeError, match="sidecar exploded"):
+        partition(docs, _text_only_model(), threshold=0.5,
+                  scorer_concurrency=1).to_pandas()
+
+
+def test_scores_resume_skips_sidecar_build(ray_session, tmp_path,
+                                           monkeypatch):
+    """A run whose scores stage checkpoint-resumes must not pay the
+    eager sidecar build at all (the thread is only started when the
+    scores manifest does not validate)."""
+    import dedupe_api_ray.stages.scoring as scoring
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    docs = ray.data.from_arrow(pa.table({
+        "record_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta gamma", "alpha beta gamma delta",
+                          "unrelated words entirely"], pa.string())}))
+    model = _text_only_model()
+    ck = str(tmp_path / "ck")
+    em1 = partition(docs, model, threshold=0.5, scorer_concurrency=1,
+                    ckpt_dir=ck).to_pandas()
+
+    calls = {"n": 0}
+    real = scoring.build_tf_sidecar
+
+    def counting(records, mdl, num_shards=None):
+        calls["n"] += 1
+        return real(records, mdl, num_shards)
+
+    monkeypatch.setattr(scoring, "build_tf_sidecar", counting)
+    em2 = partition(docs, model, threshold=0.5, scorer_concurrency=1,
+                    ckpt_dir=ck).to_pandas()
+    assert calls["n"] == 0
+    pd.testing.assert_frame_equal(
+        em1.sort_values("record_id").reset_index(drop=True),
+        em2.sort_values("record_id").reset_index(drop=True))
