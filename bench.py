@@ -132,12 +132,15 @@ def run_bench() -> dict:
     from ray.data import DataContext
 
     _quiet_ray_data_logging()
-    # cap the object store: the workload's blocks are small, and the
-    # default 37.5 GiB /dev/shm reservation plus 100+ worker heaps at
-    # num_cpus=32 pushed the node into OOM-killed workers.
+    # cap the object store: the default 37.5 GiB /dev/shm reservation
+    # plus 100+ worker heaps at num_cpus=32 pushed the node into
+    # OOM-killed workers (round 2).  24 GiB (was 12) after the round-4
+    # 950k-page run spilled 8.8 GiB through the 12 GiB store while the
+    # box sat at 60 GB free — worker heaps are lean now, and spill I/O
+    # (~100 MiB/s here) was the dominant wall at that size.
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR",
-             object_store_memory=12 * 1024 ** 3)
+             object_store_memory=24 * 1024 ** 3)
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 

@@ -333,6 +333,11 @@ def partition(records: ray.data.Dataset, model: Model,
 
     fuzzy_input = add_tokens(fuzzy_input, model.field_defs)
     fuzzy_input = fuzzy_input.materialize()
+    # the pre-collapse hashed corpus copy is dead weight in plasma from
+    # here on (~a full corpus of text at web-page sizes); drop the
+    # reference so the store evicts it instead of spilling LIVE blocks
+    # (at 950k pages the 12 GiB store spilled 8.8 GiB mid-scoring)
+    hashed = None  # noqa: F841
     _mark('fuzzy_input ready')
 
     canopy_specs = [(i, s) for i, s in enumerate(model.predicates)
@@ -454,8 +459,22 @@ def partition(records: ray.data.Dataset, model: Model,
             # every feature is sidecar-covered: bare pairs, no payload
             return score_pairs(pairs_mat, model, concurrency=conc,
                                sidecar_refs=sidecar)
+        # route on the bytes that actually SHIP: sidecar-covered Text
+        # columns never travel, so a corpus whose full record set is
+        # over the broadcast bound may still have a tiny (id, short
+        # fields) payload — probe the narrow projection before falling
+        # back to the join (at ~1M web pages the full set is GiBs but
+        # the projection is ~tens of MB; mis-routing to the hash join
+        # ships every pair's payload through an extra shuffle).
+        sel = None
         if _sb(fuzzy_input):
             sel = fuzzy_input.select_columns([id_col, *pay_cols])
+        elif fuzzy_input.count() <= 2_000_000:
+            probe = fuzzy_input.select_columns([id_col, *pay_cols]) \
+                .materialize()
+            if _sb(probe):
+                sel = probe
+        if sel is not None:
             if id_col != "record_id":
                 sel = sel.rename_columns({id_col: "record_id"})
             pay_tbl = pa.concat_tables(list(sel.iter_batches(

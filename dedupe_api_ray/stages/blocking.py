@@ -352,14 +352,23 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         hot_counts: dict[str, int] = dict(zip(
             hot_tbl["block_key"].to_pylist(),
             hot_tbl["cnt_sum"].to_pylist()))
+        _c = g["cnt_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        all_pairs = float((_c * (_c - 1) / 2).sum())
     else:
         counts = partials.groupby("block_key") \
             .aggregate(Sum("cnt", alias_name="cnt"))
+        counts = counts.materialize()  # consumed twice below
         hot = counts.map_batches(
             lambda t: t.filter(pc.greater(t["cnt"], max_block_size)),
             batch_format="pyarrow").to_pandas()
         hot_counts = ({} if hot.empty else
                       dict(zip(hot["block_key"], hot["cnt"])))
+        all_pairs = counts.map_batches(
+            lambda t: pa.table({"p": pa.array([float(
+                ((c := t["cnt"].to_numpy(zero_copy_only=False)
+                  .astype(np.float64)) * (c - 1) / 2).sum())])}),
+            batch_format="pyarrow").sum("p") or 0.0
     capped = {k: c for k, c in hot_counts.items() if c > hard_cap}
     dropped = set(capped) if hard_cap_mode == "drop" else set()
     # member sample target: pair volume per capped key stays under
@@ -390,6 +399,15 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         metrics["sampled_rows_total"] = sum(capped[k] for k in sampled)
         metrics["sample_target_members"] = m_tgt if sampled else 0
         metrics["est_pair_recall"] = est_recall
+        # expected EMITTED pair volume (pre-distinct; capped keys
+        # counted at their sampled budget): pair cost is quadratic in
+        # block size, so this is the number to check BEFORE paying for
+        # scoring — a fixed-cardinality key (e.g. url_host) doubles it
+        # 4x when the corpus doubles, and hard_cap is the knob that
+        # bounds it (see BENCH/BASELINE.md round-4 950k-page finding)
+        metrics["est_candidate_pairs"] = int(
+            all_pairs - tot_pairs
+            + (0.0 if hard_cap_mode == "drop" else kept_pairs))
     if dropped:
         logging.getLogger("dedupe_api_ray.blocking").warning(
             "candidate_pairs: dropped %d block keys above hard_cap=%d "
@@ -406,6 +424,20 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
             len(sampled), hard_cap, m_tgt, max_sampled_pairs,
             sum(capped[k] for k in sampled),
             est_recall, sorted(sampled)[:5])
+    _est_emit = all_pairs - tot_pairs \
+        + (0.0 if hard_cap_mode == "drop" else kept_pairs)
+    _bm_rows = blocking_map.count()  # free post-materialize
+    if _est_emit > max(50_000_000, 50 * _bm_rows):
+        # pair volume is quadratic in block size: a predicate whose
+        # key cardinality does NOT grow with the corpus (url_host,
+        # common integers) multiplies pairs 4x every time the corpus
+        # doubles.  Surface the cost BEFORE the scoring stage pays it.
+        logging.getLogger("dedupe_api_ray.blocking").warning(
+            "candidate_pairs: ~%.2g candidate pairs expected from %d "
+            "blocking rows (%.0fx) — quadratic mid-size blocks "
+            "dominate; lower hard_cap (its pair budget then applies) "
+            "or use more selective predicates",
+            _est_emit, _bm_rows, _est_emit / max(1, _bm_rows))
     salt_ref = ray.put((salt_k, dropped, sampled))
 
     from dedupe_api_ray.utils import shuffle_partitions
