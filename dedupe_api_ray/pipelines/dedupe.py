@@ -89,6 +89,7 @@ def partition(records: ray.data.Dataset, model: Model,
               exact_collapse: bool = True,
               num_partitions: int | None = None,
               return_stage: str | None = None,
+              pair_distinct: str | None = None,
               metrics: dict | None = None) -> ray.data.Dataset:
     """records → entity map (record_id, cluster_id, confidence).
 
@@ -103,9 +104,24 @@ def partition(records: ray.data.Dataset, model: Model,
       EVERY record (record_id, cluster_id = component min record id,
       confidence 1.0) — i.e. the full entity map with the per-component
       hierarchical-clustering cut replaced by the identity.
+
+    ``pair_distinct`` ("exact" | "local" | None): how candidate pairs
+    are globally deduplicated.  None (default) picks "exact" when the
+    pair set itself is the product (return_stage="scores" — the
+    reference's SQL DISTINCT contract) and "local" for the entity-map
+    and components paths, where the scorer tolerates the ~8%
+    cross-partition duplicates (scores are a pure function of the two
+    records), connected components are duplicate-invariant, and the
+    clustering partition kernel removes duplicates exactly — skipping
+    a full all-to-all sort of the pair set (135M pairs at 950k pages)
+    that existed only to dedup before scoring.
     """
     if return_stage not in (None, "scores", "components"):
         raise ValueError(f"unknown return_stage: {return_stage!r}")
+    if pair_distinct not in (None, "exact", "local"):
+        raise ValueError(f"unknown pair_distinct: {pair_distinct!r}")
+    if pair_distinct is None:
+        pair_distinct = "exact" if return_stage == "scores" else "local"
     import os
     import time as _time
 
@@ -360,7 +376,7 @@ def partition(records: ray.data.Dataset, model: Model,
     _mark('blocking_map stage defined')
 
     pairs_fp = fingerprint_of(blocking_fp, "pairs", max_block_size, hard_cap,
-                              max_sampled_pairs)
+                              max_sampled_pairs, pair_distinct)
     scores_fp = fingerprint_of(pairs_fp, "scores")
 
     # OVERLAP the TF-sidecar build with the candidate-pairs count pass:
@@ -397,7 +413,8 @@ def partition(records: ray.data.Dataset, model: Model,
         "pairs", pairs_fp,
         lambda: candidate_pairs(blocking_map, max_block_size=max_block_size,
                                 hard_cap=hard_cap, metrics=pair_metrics,
-                                max_sampled_pairs=max_sampled_pairs),
+                                max_sampled_pairs=max_sampled_pairs,
+                                distinct=pair_distinct),
         metrics=pair_metrics)
 
     def do_score():

@@ -277,7 +277,8 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
                     hard_cap: int = 20_000,
                     metrics: dict | None = None,
                     hard_cap_mode: str = "sample",
-                    max_sampled_pairs: int = 200_000) -> ray.data.Dataset:
+                    max_sampled_pairs: int = 200_000,
+                    distinct: str = "exact") -> ray.data.Dataset:
     """blocking_map (block_key, record_id) → distinct ordered pairs.
 
     1. per-key counts (small aggregate); keys with count > max_block_
@@ -306,7 +307,20 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
          stopword (WARNING-logged, metric'd, never silent).
     2. groupby(block_key[,salt]) emits ordered pairs per group;
     3. distinct over (id_a, id_b) — cross-block duplicate removal
-       (the reference's SQL DISTINCT †).
+       (the reference's SQL DISTINCT †).  ``distinct`` picks how:
+       - "exact" (default): global distinct via the bucketed
+         sort-shuffle (``distinct_pairs``) — the contract for any
+         caller that RETURNS the pair set (queries, record link).
+       - "local": per-block dedup only.  Skips the second all-to-all
+         sort barrier entirely; cross-partition duplicates (~8% of
+         emitted pairs on the web bench at 950k pages) survive into
+         the scorer, whose per-pair score is a pure function of the
+         two records, and are removed EXACTLY (and cheaply) inside
+         the clustering partition kernel where edges are already
+         co-located by component.  This is the entity-map scale
+         path: at 950k pages the 135M-pair distinct sort cost more
+         wall than scoring the 8% duplicate pairs it removes, AND it
+         barriered the scorer pool behind the full pair shuffle.
 
     ``metrics`` (optional dict) receives: dropped_keys, dropped_rows,
     salted_keys, sampled_keys, sampled_rows_total and
@@ -316,6 +330,8 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     """
     if hard_cap_mode not in ("sample", "drop"):
         raise ValueError(f"unknown hard_cap_mode: {hard_cap_mode!r}")
+    if distinct not in ("exact", "local"):
+        raise ValueError(f"unknown distinct mode: {distinct!r}")
     import logging
 
     import pyarrow.compute as pc
@@ -554,4 +570,16 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     # partition emitter does all per-key work in numpy
     pairs = salted.groupby("__part", num_partitions=n_parts).map_groups(
         _emit_pairs_partition, batch_format="pandas")
+    if distinct == "local":
+        # per-block dedup only (each block = one __part group, so all
+        # same-partition duplicates — salted cross segments included —
+        # die here); emit bare Arrow (no pandas schema metadata — it
+        # makes the schema unhashable and spams reduce-side warnings,
+        # same reason as distinct_pairs.bucket)
+        def local_dedup(df: pd.DataFrame) -> pa.Table:
+            df = df.drop_duplicates(["id_a", "id_b"])
+            return pa.table({
+                "id_a": pa.array(df["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(df["id_b"].to_numpy(), pa.int64())})
+        return pairs.map_batches(local_dedup, batch_format="pandas")
     return distinct_pairs(pairs)

@@ -435,8 +435,21 @@ def _cluster_partition(g: pd.DataFrame, threshold: float,
     ia = g["id_a"].to_numpy().astype(np.int64, copy=False)
     ib = g["id_b"].to_numpy().astype(np.int64, copy=False)
     sc = g["score"].to_numpy().astype(np.float64)
-    order = np.argsort(comp, kind="stable")
+    order = np.lexsort((ib, ia, comp))
     comp, ia, ib, sc = comp[order], ia[order], ib[order], sc[order]
+    # exact (id_a, id_b) dedup — THE global distinct point for pairs
+    # produced with candidate_pairs(distinct="local"): every edge of a
+    # component lands in this one partition, so dropping consecutive
+    # duplicates here is a global distinct over retained edges.  Scores
+    # of duplicate pairs are identical (the scorer is a pure function
+    # of the two records), so keeping the first is exact; the
+    # oversized-component path below uses np.add.at degree/mass sums
+    # and MUST NOT see duplicates.
+    if len(comp) > 1:
+        keep = np.r_[True, (comp[1:] != comp[:-1]) | (ia[1:] != ia[:-1])
+                     | (ib[1:] != ib[:-1])]
+        if not keep.all():
+            comp, ia, ib, sc = comp[keep], ia[keep], ib[keep], sc[keep]
     starts = np.flatnonzero(np.r_[True, comp[1:] != comp[:-1]])
     lens = np.diff(np.r_[starts, len(comp)])
     out_r: list[np.ndarray] = []

@@ -211,3 +211,59 @@ def test_partition_scale_paths_match_broadcast_paths(
     pd.testing.assert_frame_equal(
         fast[["record_id", "cluster_id", "confidence"]],
         slow[["record_id", "cluster_id", "confidence"]])
+
+
+def test_partition_pair_distinct_modes_match(ray_session, tabular_fixture):
+    """pair_distinct="local" (skip the global pair-distinct sort; the
+    clustering kernel dedups exactly) must produce the same entity map
+    as the "exact" mode."""
+    import pandas as pd
+
+    from dedupe_api_ray.pipelines.dedupe import partition
+
+    tbl = tabular_fixture["records"]
+    cols = tbl.to_pydict()
+    records = {rid: {k: cols[k][i] for k in ("name", "address", "zip", "phone")}
+               for i, rid in enumerate(cols["record_id"])}
+    lp = tabular_fixture["labeled_pairs"].to_pydict()
+    labeled = list(zip(lp["id_a"], lp["id_b"], lp["label"]))
+    fields = [FieldDef("name", "String"), FieldDef("address", "String"),
+              FieldDef("zip", "Exact"),
+              FieldDef("phone", "String", has_missing=True)]
+    model = train_model(records, labeled, fields, max_predicates=2)
+
+    def run(mode):
+        return partition(ray.data.from_arrow(tbl), model, threshold=0.5,
+                         scorer_concurrency=(1, 2),
+                         pair_distinct=mode).to_pandas() \
+            .sort_values("record_id").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run("exact"), run("local"))
+
+
+def test_cluster_partition_dedups_duplicate_edges(ray_session):
+    """_cluster_partition is the global distinct point for
+    candidate_pairs(distinct="local"): duplicate (id_a, id_b) edges
+    with identical scores must not change any output — including the
+    oversized-component path, whose np.add.at degree sums are the one
+    place duplicates would corrupt values."""
+    import numpy as np
+    import pandas as pd
+
+    from dedupe_api_ray.stages.clustering import _cluster_partition
+
+    # component 1: a 5-node chain (> max_cluster_size=3 → oversized
+    # transitive path); component 100: one edge duplicated 3×
+    base = pd.DataFrame({
+        "component_id": [1, 1, 1, 1, 100],
+        "id_a": [1, 2, 3, 4, 100],
+        "id_b": [2, 3, 4, 5, 101],
+        "score": [0.9, 0.8, 0.7, 0.95, 0.6]})
+    dup = pd.concat([base, base.iloc[[0, 2, 4, 4]]], ignore_index=True) \
+        .sample(frac=1.0, random_state=7).reset_index(drop=True)
+    out_base = _cluster_partition(base, 0.5, 3) \
+        .sort_values("record_id").reset_index(drop=True)
+    out_dup = _cluster_partition(dup, 0.5, 3) \
+        .sort_values("record_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out_base, out_dup)
+    assert set(out_base["record_id"]) == {1, 2, 3, 4, 5, 100, 101}
