@@ -402,8 +402,10 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     tot_pairs = sum(c * (c - 1) / 2 for c in capped.values())
     kept_pairs = (0.0 if hard_cap_mode == "drop" else
                   len(capped) * m_tgt * (m_tgt - 1) / 2)
+    # 3 significant digits, not fixed decimals: under key skew the
+    # true ratio can be ~1e-5 and a 4-dp round reports a misleading 0.0
     est_recall = (1.0 if not capped else
-                  round(min(1.0, kept_pairs / tot_pairs), 4))
+                  float(f"{min(1.0, kept_pairs / tot_pairs):.3g}"))
     if metrics is not None:
         # free post-materialize; callers size the scorer pool's floor
         # by blocking volume WITHOUT forcing a pairs materialization
