@@ -84,7 +84,7 @@ def partition(records: ray.data.Dataset, model: Model,
               max_block_size: int = 500,
               hard_cap: int = 20_000,
               max_sampled_pairs: int = 200_000,
-              scorer_concurrency: int | tuple = 8,
+              scorer_concurrency: int | tuple | None = None,
               cc_mode: str = "auto",
               exact_collapse: bool = True,
               num_partitions: int | None = None,
@@ -453,6 +453,14 @@ def partition(records: ray.data.Dataset, model: Model,
             except Exception:
                 n_hint = None
         conc = scorer_concurrency
+        if conc is None:
+            # CPU-scaled autoscaling pool.  NEVER default to a fixed
+            # int pool: a fixed pool of idle scorer actors can reserve
+            # EVERY cluster CPU and starve the upstream pair shuffle —
+            # a hard deadlock on small clusters (hit by the job CLI on
+            # a 4-CPU test session before this default changed).
+            from dedupe_api_ray.utils import actor_pool
+            conc = actor_pool()
         if isinstance(conc, tuple) and conc[0] < conc[1]:
             # floor CAPPED AT HALF the pool max: a full-CPU floor of
             # idle actors holds CPU reservations the distinct-pairs

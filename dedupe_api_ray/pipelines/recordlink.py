@@ -47,4 +47,14 @@ def recordlink_candidate_pairs(ds_a: ray.data.Dataset, ds_b: ray.data.Dataset,
     from dedupe_api_ray.stages.blocking import distinct_pairs
     pairs = bm.groupby("block_key").map_groups(_cross_side_pairs,
                                                batch_format="pandas")
-    return distinct_pairs(pairs)
+    # Materialize the BARE id pairs (two int64 columns — the smallest
+    # representation this pipeline ever has) before callers stack
+    # payload-attach + scorer actor pools on top.  Without the
+    # barrier the streaming executor activates every operator at
+    # once: two Fingerprinter pools + AttachBroadcast + PairScorer
+    # each hold their min-actor CPU while the union-groupby shuffle
+    # between them waits for a free slot — a hard gridlock on small
+    # clusters (reproduced on a 4-CPU session via the job CLI; the
+    # dedupe path avoids it because fuzzy_input materializes before
+    # the pair stages and the scorer floor is half-capped).
+    return distinct_pairs(pairs).materialize()
