@@ -481,6 +481,22 @@ def _q_blocking_multi_predicate(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def _q_predicate_audit(sf_dir: str):
+    """Corpus-scale per-predicate blocking audit (stages/audit.py):
+    exact distinct keys / rows / hottest key / Σ C(n,2) pairs per
+    candidate predicate — the costs learn_predicates(key_stats=...)
+    uses instead of sample estimates."""
+    from dedupe_api_ray.model import FieldDef, PredicateSpec
+    from dedupe_api_ray.stages.audit import audit_predicates
+
+    specs = [PredicateSpec("simple", "text", "firstTokenPredicate"),
+             PredicateSpec("simple", "text", "sameFiveCharStartPredicate"),
+             PredicateSpec("simple", "text", "wholeFieldPredicate")]
+    return audit_predicates(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        specs, [FieldDef("text", "ShortString")], id_col="doc_id")
+
+
 def _q_candidate_pairs(sf_dir: str):
     from dedupe_api_ray.stages.blocking import candidate_pairs
 
@@ -1095,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocking / pairs (P*, J1/J2, J4)
         "blocking_first_token": _q_blocking_first_token,
         "blocking_multi_predicate": _q_blocking_multi_predicate,
+        "predicate_audit": _q_predicate_audit,
         "candidate_pairs_first_token": _q_candidate_pairs,
         "latlong_grid_blocking": _q_latlong_grid,
         "recordlink_pairs": _q_recordlink_pairs,
@@ -1477,6 +1494,30 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
             UNION ALL
             SELECT 'magnitude', cast(cast(round(log10(n_chars)) AS BIGINT) AS VARCHAR), doc_id
             FROM documents WHERE n_chars > 0""",
+        "predicate_audit": f"""
+            WITH d AS (
+              SELECT doc_id, {_NORM_SQL} AS t FROM documents
+            ), bm AS (
+              SELECT 0 AS pred_index, 'firstTokenPredicate:text' AS predicate,
+                     regexp_extract(t, '^{_TOK_PATTERN_SQL_ESC}') AS k, doc_id
+              FROM d WHERE t IS NOT NULL
+                AND regexp_extract(t, '^{_TOK_PATTERN_SQL_ESC}') <> ''
+              UNION ALL
+              SELECT 1, 'sameFiveCharStartPredicate:text', substr(t, 1, 5), doc_id
+              FROM d WHERE t IS NOT NULL
+              UNION ALL
+              SELECT 2, 'wholeFieldPredicate:text', t, doc_id
+              FROM d WHERE t IS NOT NULL
+            ), kc AS (
+              SELECT pred_index, predicate, k, count(*) AS c
+              FROM bm GROUP BY 1, 2, 3
+            )
+            SELECT pred_index, predicate,
+                   count(*) AS n_keys,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(max(c) AS BIGINT) AS max_key_rows,
+                   CAST(sum(c * (c - 1) / 2.0) AS DOUBLE) AS est_pairs
+            FROM kc GROUP BY 1, 2""",
         "candidate_pairs_first_token": f"""
             WITH bm AS (
               SELECT regexp_extract(lower(text), '{_TOK_PATTERN_SQL_ESC}') AS block_key, doc_id

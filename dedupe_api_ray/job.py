@@ -64,19 +64,43 @@ def _model_columns(model, id_col: str) -> list[str]:
 
 def cmd_train(args) -> dict:
     """E3 head †: labeled training JSON (records embedded, dedupe's
-    match/distinct shape) → trained settings file."""
+    match/distinct shape) → trained settings file.
+
+    ``--audit-input``: a corpus parquet to run the candidate
+    predicates over FIRST (distributed), so the blocking learner
+    costs each predicate by its exact corpus-scale pair volume
+    instead of a sample estimate — the control against stopword /
+    fixed-cardinality predicates going quadratic at scale."""
     from dedupe_api_ray.model import train_model
     from dedupe_api_ray.sources.io import read_training
 
     records, labeled = read_training(args.training)
-    model = train_model(records, labeled, _parse_fields(args.fields),
+    field_defs = _parse_fields(args.fields)
+    key_stats = None
+    audit_summary = None
+    if args.audit_input:
+        from dedupe_api_ray.stages.audit import (audit_predicates,
+                                                 candidate_simple_predicates,
+                                                 key_stats_of)
+        specs = candidate_simple_predicates(field_defs)
+        cols = [args.id_col] + sorted({s.field for s in specs})
+        audit = audit_predicates(_read_input(args.audit_input, cols),
+                                 specs, field_defs, id_col=args.id_col)
+        key_stats = key_stats_of(audit)
+        audit_summary = {p: round(v, 1) for p, v in sorted(
+            key_stats.items(), key=lambda kv: -kv[1])[:10]}
+    model = train_model(records, labeled, field_defs,
                         alpha=args.alpha,
-                        max_predicates=args.max_predicates)
+                        max_predicates=args.max_predicates,
+                        key_stats=key_stats)
     model.save(args.output)
-    return {"job": "train", "records": len(records),
-            "labeled_pairs": len(labeled),
-            "predicates": [repr(p) for p in model.predicates],
-            "output": args.output}
+    out = {"job": "train", "records": len(records),
+           "labeled_pairs": len(labeled),
+           "predicates": [repr(p) for p in model.predicates],
+           "output": args.output}
+    if audit_summary is not None:
+        out["audit_top_pair_costs"] = audit_summary
+    return out
 
 
 def cmd_partition(args) -> dict:
@@ -157,6 +181,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--output", required=True, help="settings .pkl path")
     t.add_argument("--alpha", type=float, default=0.1)
     t.add_argument("--max-predicates", type=int, default=4)
+    t.add_argument("--audit-input", default=None,
+                   help="corpus parquet: cost candidate predicates by "
+                        "their EXACT corpus-scale pair volume (distributed "
+                        "audit) instead of the sample estimate")
+    t.add_argument("--id-col", default="record_id",
+                   help="id column of --audit-input")
     t.set_defaults(fn=cmd_train)
 
     d = sub.add_parser("partition", help="records -> entity map")

@@ -370,17 +370,12 @@ def _record_keys(spec: PredicateSpec, rec: dict) -> set[str]:
     raise ValueError(spec.kind)
 
 
-def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
-                     field_defs: list[FieldDef], max_predicates: int = 4,
-                     use_compound: bool = True,
-                     recall_target: float = 1.0) -> list[PredicateSpec]:
-    """Greedy ε-cover (dedupe:dedupe/training.py::BlockLearner †):
-    candidate predicates = every registry predicate applicable to each
-    declared field (plus pairwise compounds of the best simples); pick
-    the union that covers ≥ recall_target of labeled match pairs,
-    greedily by (newly covered matches) / (estimated blocked pairs).
-    Driver-side on sampled/labeled data, like the reference."""
-    candidates: list[PredicateSpec] = []
+def candidate_simple_predicates(
+        field_defs: list[FieldDef]) -> list[PredicateSpec]:
+    """Every registry predicate applicable to each declared field —
+    the candidate set ``learn_predicates`` scores (and the set
+    ``stages.audit.audit_predicates`` measures at corpus scale)."""
+    out: list[PredicateSpec] = []
     for f in field_defs:
         if f.type == "Interaction":
             continue
@@ -390,7 +385,33 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
         for name in predicates_for_kind(kind):
             if name == "existsPredicate":
                 continue
-            candidates.append(PredicateSpec("simple", f.field, name))
+            out.append(PredicateSpec("simple", f.field, name))
+    return out
+
+
+def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
+                     field_defs: list[FieldDef], max_predicates: int = 4,
+                     use_compound: bool = True,
+                     recall_target: float = 1.0,
+                     key_stats: dict[str, float] | None = None
+                     ) -> list[PredicateSpec]:
+    """Greedy ε-cover (dedupe:dedupe/training.py::BlockLearner †):
+    candidate predicates = every registry predicate applicable to each
+    declared field (plus pairwise compounds of the best simples); pick
+    the union that covers ≥ recall_target of labeled match pairs,
+    greedily by (newly covered matches) / (estimated blocked pairs).
+    Driver-side on sampled/labeled data, like the reference.
+
+    ``key_stats`` (pred_id → candidate pairs, from
+    ``stages.audit.audit_predicates`` + ``key_stats_of`` over the FULL
+    corpus) replaces the sample pair-cost estimate: a sample
+    systematically under-costs fixed-cardinality predicates (a
+    url_host key looks like singleton blocks in a 1k sample and goes
+    quadratic at 10^6 docs).  Compounds without an audited entry get
+    min(parents) — an intersection's pair count is bounded by its
+    cheapest part — so every candidate is costed at the same
+    (corpus) scale when stats cover the simple candidates."""
+    candidates = candidate_simple_predicates(field_defs)
 
     # Evaluate each candidate: cover set over matches + blocked-pair cost
     cover: list[set[int]] = []
@@ -402,6 +423,18 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
         if ck not in key_cache:
             key_cache[ck] = _record_keys(spec, records[rid])
         return key_cache[ck]
+
+    def costed(spec: PredicateSpec, sample_cost: float) -> float:
+        if not key_stats:
+            return sample_cost + 1.0
+        if spec.pred_id in key_stats:
+            return key_stats[spec.pred_id] + 1.0
+        if spec.kind == "compound":
+            parts = [key_stats[f"{n}:{f}"] for n, f in spec.parts
+                     if f"{n}:{f}" in key_stats]
+            if len(parts) == len(spec.parts):
+                return min(parts) + 1.0
+        return sample_cost + 1.0
 
     for spec in candidates:
         cov = set()
@@ -415,7 +448,7 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
                 key_counts[k] = key_counts.get(k, 0) + 1
         c = sum(v * (v - 1) / 2 for v in key_counts.values())
         cover.append(cov)
-        cost.append(c + 1.0)
+        cost.append(costed(spec, c))
 
     # compounds of the 6 best simple predicates by cover/cost
     if use_compound:
@@ -436,7 +469,7 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
             c = sum(v * (v - 1) / 2 for v in key_counts.values())
             candidates.append(spec)
             cover.append(cov)
-            cost.append(c + 1.0)
+            cost.append(costed(spec, c))
 
     target = math.ceil(recall_target * len(matches))
     chosen: list[PredicateSpec] = []
@@ -459,10 +492,12 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
 
 def train_model(records: dict[int, dict], labeled_pairs: list[tuple[int, int, bool]],
                 field_defs: list[FieldDef], alpha: float = 0.1,
-                max_predicates: int = 4, corpus_idf: bool = True) -> Model:
+                max_predicates: int = 4, corpus_idf: bool = True,
+                key_stats: dict[str, float] | None = None) -> Model:
     """Driver-side training (E3 flow †): normalize sample records,
     compute IDF for Text fields, fit LR on labeled pairs, learn the
-    blocking predicate union from the positive pairs."""
+    blocking predicate union from the positive pairs.  ``key_stats``:
+    corpus-scale predicate costs (see learn_predicates)."""
     recs = {rid: _normalize_record(r, field_defs) for rid, r in records.items()}
     idf: dict[str, dict[str, float]] = {}
     if corpus_idf:
@@ -486,7 +521,8 @@ def train_model(records: dict[int, dict], labeled_pairs: list[tuple[int, int, bo
     weights, bias = fit_logistic_regression(x, y, alpha=alpha)
     matches = [(a, b) for a, b, lbl in labeled_pairs if lbl]
     predicates = learn_predicates(recs, matches, field_defs,
-                                  max_predicates=max_predicates)
+                                  max_predicates=max_predicates,
+                                  key_stats=key_stats)
     return Model(field_defs=field_defs, predicates=predicates,
                  weights=weights, bias=bias, idf=idf)
 

@@ -77,6 +77,20 @@ def test_job_train_then_partition(job_env, capsys):
     assert ray.is_initialized()
 
 
+def test_job_train_with_corpus_audit(job_env, capsys):
+    """--audit-input costs candidates at corpus scale (stages/audit):
+    training still succeeds and reports the audited top pair costs."""
+    settings = str(job_env["root"] / "settings_audited.pkl")
+    out = _run(["train",
+                "--training", job_env["training_json"],
+                "--fields", "text:Text,url_host:ShortString",
+                "--audit-input", job_env["records_pq"],
+                "--output", settings], capsys)
+    assert out["job"] == "train" and os.path.exists(settings)
+    assert out["audit_top_pair_costs"]  # non-empty pred_id -> pairs
+    assert out["predicates"]
+
+
 def test_job_partition_reuses_checkpoints(job_env, capsys):
     """Second run with the same ckpt dir resumes and matches."""
     import ray
