@@ -393,8 +393,8 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
                      field_defs: list[FieldDef], max_predicates: int = 4,
                      use_compound: bool = True,
                      recall_target: float = 1.0,
-                     key_stats: dict[str, float] | None = None
-                     ) -> list[PredicateSpec]:
+                     key_stats: dict[str, float] | None = None,
+                     audit_fn=None) -> list[PredicateSpec]:
     """Greedy ε-cover (dedupe:dedupe/training.py::BlockLearner †):
     candidate predicates = every registry predicate applicable to each
     declared field (plus pairwise compounds of the best simples); pick
@@ -410,7 +410,13 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
     quadratic at 10^6 docs).  Compounds without an audited entry get
     min(parents) — an intersection's pair count is bounded by its
     cheapest part — so every candidate is costed at the same
-    (corpus) scale when stats cover the simple candidates."""
+    (corpus) scale when stats cover the simple candidates.
+
+    ``audit_fn`` (specs → pred_id → pairs): called once with the
+    compound candidates the greedy constructs, so intersections are
+    costed EXACTLY too (min(parents) over-estimates a selective
+    compound; measured 2.7x on the bench corpus).  Typically
+    ``lambda s: key_stats_of(audit_predicates(corpus, s, fdefs))``."""
     candidates = candidate_simple_predicates(field_defs)
 
     # Evaluate each candidate: cover set over matches + blocked-pair cost
@@ -454,10 +460,14 @@ def learn_predicates(records: dict[int, dict], matches: list[tuple[int, int]],
     if use_compound:
         ranked = sorted(range(len(candidates)),
                         key=lambda i: len(cover[i]) / cost[i], reverse=True)[:6]
-        for i, j in combinations(ranked, 2):
-            s1, s2 = candidates[i], candidates[j]
-            spec = PredicateSpec("compound", s1.field,
-                                 parts=((s1.name, s1.field), (s2.name, s2.field)))
+        compounds = [PredicateSpec(
+            "compound", candidates[i].field,
+            parts=((candidates[i].name, candidates[i].field),
+                   (candidates[j].name, candidates[j].field)))
+            for i, j in combinations(ranked, 2)]
+        if audit_fn is not None and compounds:
+            key_stats = {**(key_stats or {}), **audit_fn(compounds)}
+        for spec in compounds:
             cov = set()
             for mi, (a, b) in enumerate(matches):
                 if _record_keys(spec, records[a]) & _record_keys(spec, records[b]):

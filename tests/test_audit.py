@@ -107,6 +107,29 @@ def test_key_stats_compound_min_of_parents():
             assert stats[c.pred_id] < 1e9
 
 
+def test_audit_fn_exact_compound_costs():
+    """audit_fn gives the greedy's compounds EXACT corpus costs; a
+    selective compound then beats its own parents (min-of-parents
+    alone would tie and lose on ordering)."""
+    recs, matches = _sample_records()
+    fdefs = [FieldDef("name", "ShortString")]
+    stats = {s.pred_id: 1e9 for s in candidate_simple_predicates(fdefs)}
+    stats["firstTokenPredicate:name"] = 100.0
+    stats["sameThreeCharStartPredicate:name"] = 100.0
+
+    audited = {}
+
+    def audit_fn(specs):
+        audited.update({s.pred_id: 10.0 for s in specs})
+        return dict(audited)
+
+    chosen = learn_predicates(recs, matches, fdefs, max_predicates=1,
+                              use_compound=True, key_stats=stats,
+                              audit_fn=audit_fn)
+    assert audited, "compound candidates were audited"
+    assert chosen[0].kind == "compound"
+
+
 def test_audit_matches_pipeline_keys(ray_session):
     """Audited est_pairs equals the exact pair count the partition
     pipeline's candidate_pairs would emit for a single-predicate
