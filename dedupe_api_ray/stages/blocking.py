@@ -136,6 +136,13 @@ _PAIR_CHUNK = 20_000_000  # max pairs materialized per vectorized gather
 # max blocking-map rows for the driver-side hot-key count finish;
 # module-level so tests can force the shuffle-groupby scale path
 COUNT_DRIVER_MAX = 20_000_000
+# distinct="auto" crossover: below this expected emitted-pair volume
+# the global distinct sort is cheap and removes cross-predicate
+# duplicate SCORING work; above it the all-to-all dominates.  Measured
+# hash-identical A/Bs on the bench corpus: 44M pairs @ 474k pages,
+# 8 CPUs — exact 276s vs local 370s (exact wins); 135M pairs @ 950k
+# pages, 32 CPUs — local 438s vs exact 744s (local wins 1.7x).
+LOCAL_DISTINCT_MIN_PAIRS = 80_000_000
 
 
 def _emit_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -311,6 +318,11 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
        - "exact" (default): global distinct via the bucketed
          sort-shuffle (``distinct_pairs``) — the contract for any
          caller that RETURNS the pair set (queries, record link).
+       - "auto": "local" iff the expected emitted volume exceeds
+         ``LOCAL_DISTINCT_MIN_PAIRS`` (the measured crossover where
+         the all-to-all sort costs more than re-scoring ~tens of
+         percent cross-predicate duplicates), else "exact".
+         Deterministic: the choice is a pure function of key counts.
        - "local": per-block dedup only.  Skips the second all-to-all
          sort barrier entirely; cross-partition duplicates (~8% of
          emitted pairs on the web bench at 950k pages) survive into
@@ -330,7 +342,7 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     """
     if hard_cap_mode not in ("sample", "drop"):
         raise ValueError(f"unknown hard_cap_mode: {hard_cap_mode!r}")
-    if distinct not in ("exact", "local"):
+    if distinct not in ("exact", "local", "auto"):
         raise ValueError(f"unknown distinct mode: {distinct!r}")
     import logging
 
@@ -406,6 +418,17 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
     # true ratio can be ~1e-5 and a 4-dp round reports a misleading 0.0
     est_recall = (1.0 if not capped else
                   float(f"{min(1.0, kept_pairs / tot_pairs):.3g}"))
+    expected_pairs = int(all_pairs - tot_pairs
+                         + (0.0 if hard_cap_mode == "drop" else kept_pairs))
+    if distinct == "auto":
+        # deterministic (pure function of the key counts), so output
+        # stays byte-identical across parallelism levels
+        distinct = ("local" if expected_pairs > LOCAL_DISTINCT_MIN_PAIRS
+                    else "exact")
+        logging.getLogger("dedupe_api_ray.blocking").info(
+            "candidate_pairs: distinct=auto -> %s (expected %d pairs, "
+            "crossover %d)", distinct, expected_pairs,
+            LOCAL_DISTINCT_MIN_PAIRS)
     if metrics is not None:
         # free post-materialize; callers size the scorer pool's floor
         # by blocking volume WITHOUT forcing a pairs materialization
@@ -423,9 +446,8 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         # scoring — a fixed-cardinality key (e.g. url_host) doubles it
         # 4x when the corpus doubles, and hard_cap is the knob that
         # bounds it (see BENCH/BASELINE.md round-4 950k-page finding)
-        metrics["est_candidate_pairs"] = int(
-            all_pairs - tot_pairs
-            + (0.0 if hard_cap_mode == "drop" else kept_pairs))
+        metrics["est_candidate_pairs"] = expected_pairs
+        metrics["pair_distinct"] = distinct
     if dropped:
         logging.getLogger("dedupe_api_ray.blocking").warning(
             "candidate_pairs: dropped %d block keys above hard_cap=%d "

@@ -238,7 +238,19 @@ def test_partition_pair_distinct_modes_match(ray_session, tabular_fixture):
                          pair_distinct=mode).to_pandas() \
             .sort_values("record_id").reset_index(drop=True)
 
-    pd.testing.assert_frame_equal(run("exact"), run("local"))
+    exact = run("exact")
+    pd.testing.assert_frame_equal(exact, run("local"))
+    # "auto" resolves deterministically from expected pair volume
+    # (tiny here -> exact) and must match regardless of which side of
+    # the crossover it lands on
+    pd.testing.assert_frame_equal(exact, run("auto"))
+    import dedupe_api_ray.stages.blocking as B
+    old = B.LOCAL_DISTINCT_MIN_PAIRS
+    B.LOCAL_DISTINCT_MIN_PAIRS = 0  # force the local side of auto
+    try:
+        pd.testing.assert_frame_equal(exact, run("auto"))
+    finally:
+        B.LOCAL_DISTINCT_MIN_PAIRS = old
 
 
 def test_cluster_partition_dedups_duplicate_edges(ray_session):
