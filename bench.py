@@ -75,7 +75,11 @@ def bench_model():
 
     here = os.path.dirname(os.path.abspath(__file__))
     key = hashlib.blake2b(digest_size=8)
-    for src in ("dedupe_api_ray/fixtures.py", "dedupe_api_ray/model.py",
+    # bench.py itself is in the key: the pinned predicate list and the
+    # tiny-fixture training parameters live HERE, so editing them must
+    # invalidate the cached model
+    for src in ("bench.py", "dedupe_api_ray/fixtures.py",
+                "dedupe_api_ray/model.py",
                 "dedupe_api_ray/functions/text.py"):
         with open(os.path.join(here, src), "rb") as f:
             key.update(f.read())

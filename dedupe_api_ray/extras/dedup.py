@@ -192,7 +192,6 @@ def minhash_band_rows(ds: ray.data.Dataset, num_perm: int = 64,
                       id_col: str = "doc_id",
                       concurrency: int | tuple | None = None,
                       shingle_size: int = 1) -> ray.data.Dataset:
-    from dedupe_api_ray.utils import actor_pool
     if concurrency is None:
         concurrency = actor_pool()
     return ds.map_batches(
@@ -206,14 +205,19 @@ def minhash_band_rows(ds: ray.data.Dataset, num_perm: int = 64,
 def lsh_candidate_pairs(band_rows: ray.data.Dataset,
                         max_bucket: int = 5000,
                         hard_cap: int | None = None,
-                        metrics: dict | None = None) -> ray.data.Dataset:
+                        metrics: dict | None = None,
+                        hard_cap_mode: str = "sample") -> ray.data.Dataset:
     """Band rows → distinct candidate pairs.  Hot buckets (boilerplate-
     heavy web text puts thousands of near-identical pages in one band
     bucket) are NOT dropped: buckets above ``max_bucket`` are salted
     into sub-blocks with lossless cross-(i,j) enumeration — the same
     skew handling as predicate blocking (stages.blocking
-    .candidate_pairs).  Only an explicit ``hard_cap`` drops keys, and
-    drops are logged + reported via ``metrics``."""
+    .candidate_pairs).  An explicit ``hard_cap`` bounds over-cap
+    buckets per ``hard_cap_mode``: "sample" (default) pairs a
+    deterministic uniform member sample with a bounded pair budget,
+    "drop" removes the key outright; either way the outcome is logged
+    and reported via ``metrics`` (sampled_keys / dropped_keys /
+    est_pair_recall)."""
     from dedupe_api_ray.stages.blocking import candidate_pairs
 
     # band keys stay int64 end-to-end: candidate_pairs is key-dtype-
@@ -227,7 +231,8 @@ def lsh_candidate_pairs(band_rows: ray.data.Dataset,
         batch_format="pyarrow")
     return candidate_pairs(bm, max_block_size=max_bucket,
                            hard_cap=hard_cap if hard_cap is not None
-                           else (1 << 62), metrics=metrics)
+                           else (1 << 62), metrics=metrics,
+                           hard_cap_mode=hard_cap_mode)
 
 
 def _pairwise_intersect_counts(seg_a: list[np.ndarray],
@@ -448,6 +453,8 @@ class SimHasher:
     def simhash(self, text: str) -> int:
         """Scalar form (tests / direct callers); same values as the
         batched __call__."""
+        if len(self._memo) > 2_000_000:  # same bound as __call__
+            self._memo.clear()
         return int(self._batch_simhash(
             [_token_hashes(text, memo=self._memo)])[0])
 
@@ -483,7 +490,6 @@ def simhash_table(docs: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id",
                   concurrency: int | tuple | None = None
                   ) -> ray.data.Dataset:
-    from dedupe_api_ray.utils import actor_pool
     if concurrency is None:
         concurrency = actor_pool()
     return docs.map_batches(SimHasher,

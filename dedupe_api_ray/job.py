@@ -118,8 +118,8 @@ def cmd_partition(args) -> dict:
         ds, model, args.threshold, id_col=args.id_col,
         ckpt_dir=args.ckpt_dir, max_block_size=args.max_block_size,
         hard_cap=args.hard_cap, metrics=metrics)
-    write_entity_map(entity_map, args.output, fmt=args.format)
-    return {"job": "partition", "rows": entity_map.count(),
+    n = write_entity_map(entity_map, args.output, fmt=args.format)
+    return {"job": "partition", "rows": n,
             "blocking_metrics": metrics, "output": args.output}
 
 
@@ -143,8 +143,8 @@ def cmd_recordlink(args) -> dict:
     scored = score_pairs(attach_payload(pairs, left.union(right), model),
                          model)
     links = greedy_matching(scored, args.threshold)
-    write_entity_map(links, args.output, fmt=args.format)
-    return {"job": "recordlink", "rows": links.count(),
+    n = write_entity_map(links, args.output, fmt=args.format)
+    return {"job": "recordlink", "rows": n,
             "output": args.output}
 
 
@@ -159,8 +159,8 @@ def cmd_gazetteer(args) -> dict:
                          threshold=args.threshold,
                          id_col=args.id_col, text_col=args.text_col,
                          mode=args.mode)
-    write_entity_map(out, args.output, fmt=args.format)
-    return {"job": "gazetteer", "rows": out.count(),
+    n = write_entity_map(out, args.output, fmt=args.format)
+    return {"job": "gazetteer", "rows": n,
             "output": args.output}
 
 

@@ -37,18 +37,27 @@ def read_records_csv(path: str, columns: list[str] | None = None,
 
 
 def write_entity_map(entity_map: ray.data.Dataset, path: str,
-                     fmt: str = "parquet") -> None:
+                     fmt: str = "parquet") -> int:
     """S5/S6: export the (record_id, cluster_id, confidence) entity map.
     ``fmt``: parquet (resumable canonical sink), csv or json (the
-    reference's result-download formats †)."""
-    if fmt == "parquet":
-        entity_map.write_parquet(path)
-    elif fmt == "csv":
-        entity_map.write_csv(path)
-    elif fmt == "json":
-        entity_map.write_json(path)
-    else:
+    reference's result-download formats †).
+
+    Returns the number of rows written, counted from the WRITTEN
+    output (parquet: footer metadata only; csv/json: one re-read of
+    the final files) — never by re-executing the input dataset, whose
+    lazy plan may be an entire scoring pipeline (calling
+    ``entity_map.count()`` after the write would run it twice)."""
+    readers = {"parquet": (entity_map.write_parquet, ray.data.read_parquet),
+               "csv": (entity_map.write_csv, ray.data.read_csv),
+               "json": (entity_map.write_json, ray.data.read_json)}
+    if fmt not in readers:
         raise ValueError(f"unknown export format {fmt!r}")
+    write, read = readers[fmt]
+    write(path)
+    try:
+        return read(path).count()
+    except FileNotFoundError:
+        return 0  # zero-row result: the sink wrote no data files
 
 
 def write_training(path: str, records: dict[int, dict],

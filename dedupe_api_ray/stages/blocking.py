@@ -390,8 +390,12 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         hot = counts.map_batches(
             lambda t: t.filter(pc.greater(t["cnt"], max_block_size)),
             batch_format="pyarrow").to_pandas()
+        # .tolist(): plain Python ints, not np.int64 — these counts
+        # flow into the metrics dict, which checkpoint manifests and
+        # the job CLI json.dump (np.int64 is not JSON-serializable)
         hot_counts = ({} if hot.empty else
-                      dict(zip(hot["block_key"], hot["cnt"])))
+                      dict(zip(hot["block_key"].tolist(),
+                               hot["cnt"].tolist())))
         all_pairs = counts.map_batches(
             lambda t: pa.table({"p": pa.array([float(
                 ((c := t["cnt"].to_numpy(zero_copy_only=False)
@@ -434,10 +438,10 @@ def candidate_pairs(blocking_map: ray.data.Dataset,
         # by blocking volume WITHOUT forcing a pairs materialization
         metrics["blocking_rows"] = blocking_map.count()
         metrics["dropped_keys"] = len(dropped)
-        metrics["dropped_rows"] = sum(capped[k] for k in dropped)
+        metrics["dropped_rows"] = int(sum(capped[k] for k in dropped))
         metrics["salted_keys"] = len(salt_k) - len(sampled)
         metrics["sampled_keys"] = len(sampled)
-        metrics["sampled_rows_total"] = sum(capped[k] for k in sampled)
+        metrics["sampled_rows_total"] = int(sum(capped[k] for k in sampled))
         metrics["sample_target_members"] = m_tgt if sampled else 0
         metrics["est_pair_recall"] = est_recall
         # expected EMITTED pair volume (pre-distinct; capped keys
