@@ -938,6 +938,50 @@ def _q_gazetteer_topk(sf_dir: str):
     return gazetteer_topn(queries, docs, n=2, threshold=0.3)
 
 
+def _q_gazetteer_topk_lsh(sf_dir: str):
+    """J5/G4 scale path: the same top-n as gazetteer_topk but through
+    the MinHash-LSH bipartite blocking route (neither side broadcast —
+    the mode a canon set beyond the broadcast bound requires).  With
+    single-row bands (bands == num_perm == 64) a candidate pair at the
+    0.3 jaccard threshold is missed with probability (1-0.3)^64 ≈
+    2e-10, so the output is deterministically identical to the exact
+    broadcast scan and shares its SQL oracle."""
+    from dedupe_api_ray.pipelines.gazetteer import gazetteer_topn
+
+    docs = _docs(sf_dir)
+    queries = docs.filter(lambda r: r["doc_id"] < 20)
+    return gazetteer_topn(queries, docs, n=2, threshold=0.3, mode="lsh",
+                          lsh_num_perm=64, lsh_bands=64)
+
+
+def _q_incremental_assign(sf_dir: str):
+    """Incremental fold (pipelines/incremental.py): docs with doc_id
+    < 50 act as existing cluster representatives (cluster_id =
+    doc_id), the rest is the new increment; per new record, the
+    best-scoring rep above 0.5 under the pinned documents model
+    (firstToken blocking → TF-cosine + source-exact → LR sigmoid).
+    Confidence at 6 dp — the scored-pairs contract; ties break on the
+    ROUNDED score so float32 ulp noise cannot flip the argmax."""
+    from dedupe_api_ray.pipelines.incremental import incremental_assign
+
+    docs = _docs(sf_dir)
+    canon = docs.filter(lambda r: r["doc_id"] < 50).map_batches(
+        lambda t: pa.table({"cluster_id": t["doc_id"], "text": t["text"],
+                            "source": t["source"]}),
+        batch_format="pyarrow")
+    new = docs.filter(lambda r: r["doc_id"] >= 50).map_batches(
+        lambda t: pa.table({"record_id": t["doc_id"], "text": t["text"],
+                            "source": t["source"]}),
+        batch_format="pyarrow")
+    out = incremental_assign(new, canon, documents_model(), threshold=0.5,
+                             scorer_concurrency=(1, 4))
+    return out.map_batches(
+        lambda t: pa.table({
+            "record_id": t["record_id"], "cluster_id": t["cluster_id"],
+            "confidence": _r(pc.cast(t["confidence"], pa.float64()), 6)}),
+        batch_format="pyarrow")
+
+
 def _q_recordlink_pairs(sf_dir: str):
     """J4: bipartite candidate pairs src0-docs × src1-docs sharing a
     first-token block key."""
@@ -1115,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "candidate_pairs_first_token": _q_candidate_pairs,
         "latlong_grid_blocking": _q_latlong_grid,
         "recordlink_pairs": _q_recordlink_pairs,
+        "incremental_assign": _q_incremental_assign,
         # aggregates / sorts / top-k (G4/G5, O1–O4)
         "df_counts": _q_df_counts,
         "grouped_topk": _q_grouped_topk,
@@ -1127,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_components": _q_cc_components,
         "canonicalize_reps": _q_canonicalize,
         "gazetteer_topk": _q_gazetteer_topk,
+        "gazetteer_topk_lsh": _q_gazetteer_topk_lsh,
         # similarity search
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
@@ -1458,7 +1504,7 @@ SELECT record_id, cluster_id FROM em""")
         + _replay_ctes("p2") + """
 SELECT e1.record_id, e2.cluster_id
 FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
-    return {
+    sqls = {
         "normalize_documents":
             f"SELECT doc_id, {_NORM_SQL} AS text_norm FROM documents",
         "token_counts":
@@ -1766,3 +1812,58 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
         "flagship_dedupe": flagship_dedupe_sql,
         "dedupe_canon": dedupe_canon_sql,
     }
+    # the LSH gazetteer route produces the identical top-n (single-row
+    # bands make the blocking recall ~1-2e-10 at the 0.3 threshold),
+    # so it shares the exact-scan oracle
+    sqls["gazetteer_topk_lsh"] = sqls["gazetteer_topk"]
+    # incremental_assign: the recordlink-scored fold of new docs
+    # (doc_id >= 50) onto canon reps (doc_id < 50) — same normalize /
+    # firstToken / TF-cosine / sigmoid chain as the flagship CTEs but
+    # over raw docs (no exact-collapse) and cross-side pairs only,
+    # then argmax per new record on the 6-dp-rounded score
+    sqls["incremental_assign"] = f"""
+WITH inorm AS (
+  SELECT doc_id, {_NORM_SQL} AS tnorm, source FROM documents
+), itf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS f
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(tnorm, '{_TOK_PATTERN_SQL_ESC}'))
+                 AS tok
+        FROM inorm)
+  GROUP BY doc_id, tok
+), inrm AS (
+  SELECT doc_id, sqrt(sum(f * f)) AS nn FROM itf GROUP BY doc_id
+), ibm AS (
+  SELECT doc_id, source,
+         regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') AS ft
+  FROM inorm WHERE regexp_extract(tnorm, '{_TOK_PATTERN_SQL_ESC}') <> ''
+), iprs AS (
+  SELECT n.doc_id AS id_a, c.doc_id AS id_b,
+         CASE WHEN n.source = c.source THEN 1.0 ELSE 0.0 END AS eq
+  FROM ibm n JOIN ibm c ON n.ft = c.ft
+  WHERE n.doc_id >= 50 AND c.doc_id < 50
+), idots AS (
+  SELECT p.id_a, p.id_b, sum(ta.f * tb.f) AS dot
+  FROM iprs p
+  JOIN itf ta ON ta.doc_id = p.id_a
+  JOIN itf tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok
+  GROUP BY p.id_a, p.id_b
+), isc AS (
+  SELECT p.id_a, p.id_b,
+         CAST(1.0 / (1.0 + exp(-(10.0 *
+             LEAST(coalesce(d.dot, 0.0) / (na.nn * nb.nn), 1.0)
+             + 1.0 * p.eq - 8.0))) AS REAL) AS s32
+  FROM iprs p
+  LEFT JOIN idots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+  JOIN inrm na ON na.doc_id = p.id_a
+  JOIN inrm nb ON nb.doc_id = p.id_b
+)
+SELECT id_a AS record_id, id_b AS cluster_id,
+       round(CAST(s32 AS DOUBLE), 6) AS confidence
+FROM (SELECT id_a, id_b, s32,
+        row_number() OVER (PARTITION BY id_a
+                           ORDER BY round(CAST(s32 AS DOUBLE), 6) DESC,
+                                    id_b) AS rn
+      FROM isc WHERE s32 >= 0.5)
+WHERE rn = 1"""
+    return sqls
