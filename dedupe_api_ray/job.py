@@ -148,6 +148,32 @@ def cmd_recordlink(args) -> dict:
             "output": args.output}
 
 
+def cmd_incremental(args) -> dict:
+    """Fold a crawl increment into an existing entity map: assign new
+    records to existing clusters via the trained model (recordlink
+    blocking vs canon reps), partition only the unmatched remainder
+    (pipelines/incremental.py)."""
+    from dedupe_api_ray.model import Model
+    from dedupe_api_ray.pipelines.incremental import incremental_partition
+    from dedupe_api_ray.sources.io import write_entity_map
+
+    model = Model.load(args.model)
+    cols = _model_columns(model, args.id_col)
+    new = _read_input(args.input, cols)
+    canon_cols = [args.canon_id_col] + [c for c in cols
+                                        if c != args.id_col]
+    canon = _read_input(args.canon, canon_cols)
+    metrics: dict = {}
+    em = incremental_partition(
+        new, canon, model, args.threshold, id_col=args.id_col,
+        canon_id_col=args.canon_id_col, metrics=metrics,
+        ckpt_dir=args.ckpt_dir, max_block_size=args.max_block_size,
+        hard_cap=args.hard_cap)
+    n = write_entity_map(em, args.output, fmt=args.format)
+    return {"job": "incremental", "rows": n,
+            "blocking_metrics": metrics, "output": args.output}
+
+
 def cmd_gazetteer(args) -> dict:
     """E2 batch analog †: per query row, top-n canon matches."""
     from dedupe_api_ray.pipelines.gazetteer import gazetteer_topn
@@ -215,6 +241,25 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--format", default="parquet",
                    choices=["parquet", "csv", "json"])
     r.set_defaults(fn=cmd_recordlink)
+
+    i = sub.add_parser("incremental",
+                       help="new records x existing canon -> entity map")
+    i.add_argument("--input", required=True, help="the new increment")
+    i.add_argument("--canon", required=True,
+                   help="one representative row per existing cluster "
+                        "(cluster id + the model's fields)")
+    i.add_argument("--model", required=True)
+    i.add_argument("--output", required=True)
+    i.add_argument("--threshold", type=float, default=0.5)
+    i.add_argument("--id-col", default="record_id")
+    i.add_argument("--canon-id-col", default="cluster_id")
+    i.add_argument("--ckpt-dir", default=None,
+                   help="checkpoints for the remainder partition pass")
+    i.add_argument("--max-block-size", type=int, default=500)
+    i.add_argument("--hard-cap", type=int, default=20_000)
+    i.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "json"])
+    i.set_defaults(fn=cmd_incremental)
 
     g = sub.add_parser("gazetteer", help="queries x canon -> top-n")
     g.add_argument("--input", required=True, help="query rows")

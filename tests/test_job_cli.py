@@ -152,3 +152,44 @@ def test_job_recordlink(job_env, capsys):
         assert {"id_a", "id_b", "score"} <= set(links.columns)
         # one-to-one: no id reused on either side
         assert links["id_a"].is_unique and links["id_b"].is_unique
+
+
+def test_job_incremental(job_env, capsys):
+    """incremental: new rows x canon reps -> full increment map (the
+    matched rows keep existing cluster ids, the rest partitions)."""
+    import ray
+
+    root = job_env["root"]
+    canon_pq = str(root / "inc_canon.parquet")
+    new_pq = str(root / "inc_new.parquet")
+    pq.write_table(pa.table({
+        "cluster_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon",
+                          "zeta eta theta iota kappa"]),
+        "url_host": pa.array(["h0.example.com", "h1.example.com"]),
+    }), canon_pq)
+    pq.write_table(pa.table({
+        "record_id": pa.array([100, 101, 102], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon",
+                          "nu xi omicron pi rho",
+                          "nu xi omicron pi rho"]),
+        "url_host": pa.array(["h0.example.com", "h9.example.com",
+                              "h9.example.com"]),
+    }), new_pq)
+
+    settings = str(root / "settings.pkl")  # trained by the first test
+    out_dir = str(root / "inc_map")
+    out = _run(["incremental",
+                "--input", new_pq, "--canon", canon_pq,
+                "--model", settings,
+                "--output", out_dir,
+                "--threshold", "0.5"], capsys)
+    assert out["job"] == "incremental"
+    assert out["rows"] == 3
+    em = ray.data.read_parquet(out_dir).to_pandas()
+    got = dict(zip(em["record_id"], em["cluster_id"]))
+    # every increment row mapped exactly once; exact-text match folds
+    # into the existing cluster, the novel dup pair forms a fresh one
+    assert set(got) == {100, 101, 102}
+    assert got[100] == 1
+    assert got[101] == got[102] == 101
