@@ -88,6 +88,33 @@ def test_incremental_partition_no_matches(ray_session):
                                                             201: 200}
 
 
+def test_incremental_partition_covers_each_record_once(ray_session):
+    """Partition-style invariants on a messier increment: every new
+    record appears EXACTLY once; cluster labels are either an existing
+    canon id or the min record id of a fresh cluster."""
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "zeta", "eta", "theta",
+             "iota", "kappa", "nu", "xi", "pi", "rho", "sigma", "tau"]
+    texts, rids = [], []
+    for i in range(60):
+        k = rng.integers(3, 7)
+        texts.append(" ".join(rng.choice(words, size=k, replace=False)))
+        rids.append(1000 + i)
+    new = ray.data.from_arrow(pa.table({
+        "record_id": pa.array(rids, pa.int64()),
+        "text": pa.array(texts),
+        "source": pa.array(["src0"] * 60)}))
+    from dedupe_api_ray.pipelines.incremental import incremental_partition
+
+    em = incremental_partition(new, _canon(), _model(), threshold=0.5,
+                               scorer_concurrency=(1, 2)).to_pandas()
+    assert sorted(em["record_id"]) == sorted(rids)  # once each
+    canon_ids = {1, 2}
+    for cid, grp in em.groupby("cluster_id"):
+        if cid not in canon_ids:
+            assert cid == grp["record_id"].min()  # fresh = min member
+
+
 def test_incremental_partition_join_path_matches_broadcast(ray_session,
                                                            monkeypatch):
     """The hash-join anti-join (scale path) must produce the same map
