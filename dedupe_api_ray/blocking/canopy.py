@@ -325,14 +325,30 @@ def tfidf_search_keys(queries: ray.data.Dataset, index: ray.data.Dataset,
                       field: str, threshold: float,
                       id_col: str = "record_id",
                       pred_tag: str = "search",
-                      concurrency: int | tuple | None = None
-                      ) -> ray.data.Dataset:
+                      concurrency: int | tuple | None = None,
+                      index_max_rows: int = 2_000_000) -> ray.data.Dataset:
     """P21: query-side keys — one per indexed record within threshold.
     The indexed side also emits its own-id key so both sides of a
-    RecordLink share keys."""
+    RecordLink share keys.
+
+    The inverted index is BROADCAST whole (each actor holds full
+    postings — the reference's search canopy is equally
+    single-memory †); an indexed side above ``index_max_rows`` fails
+    loudly like the canopy driver paths instead of silently building a
+    multi-GiB Python index on the driver and in every actor.  For a
+    large indexed side use MinHash-LSH blocking
+    (extras.dedup.minhash_band_rows + lsh_candidate_pairs) or the
+    gazetteer's mode='lsh', which broadcast neither side."""
     from dedupe_api_ray.utils import actor_pool
     if concurrency is None:
         concurrency = actor_pool()
+    n_index = index.count()
+    if n_index > index_max_rows:
+        raise RuntimeError(
+            f"tfidf_search_keys: indexed side has {n_index} rows > "
+            f"index_max_rows={index_max_rows}; the postings index is "
+            "broadcast whole — use MinHash-LSH blocking or "
+            "gazetteer_topn(mode='lsh') for a large indexed side")
     idf = build_idf(index, field)
     idf_ref = ray.put(idf)
     vecs = _tfidf_vectors(index, field, id_col, idf_ref)

@@ -542,7 +542,8 @@ def partition(records: ray.data.Dataset, model: Model,
             edges = kept.map_batches(
                 lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
                 batch_format="pyarrow")
-            clustered = connected_components(edges, mode=cc_mode) \
+            clustered = connected_components(edges, mode=cc_mode,
+                                             n_edges=kept.count()) \
                 .map_batches(
                     lambda t: pa.table({
                         "record_id": t["record_id"],

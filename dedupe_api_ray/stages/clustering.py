@@ -41,15 +41,30 @@ import ray.data
 # G1: connected components
 # ---------------------------------------------------------------------------
 
-def _checksum(edges: ray.data.Dataset) -> tuple[int, int]:
+def _checksum(edges: ray.data.Dataset) -> tuple[int, int, int]:
+    """Order-independent (sum, xor, count) signature of the edge SET.
+    Each edge is mixed through a splitmix64-style avalanche so equal
+    signatures imply equal sets up to a ~2^-125 collision probability
+    (the convergence test below turns a collision into a silently
+    wrong star forest, so a 31-bit sum was not enough)."""
     def chk(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
         v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((u * np.uint64(2654435761) + v) % np.uint64(2**31)).astype(np.int64)
-        return pa.table({"h": pa.array([int(h.sum())], pa.int64()),
+        with np.errstate(over="ignore"):
+            z = u * np.uint64(0x9E3779B97F4A7C15) + v
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+        s = int(z.sum(dtype=np.uint64))  # wrapping sum mod 2^64
+        x = int(np.bitwise_xor.reduce(z)) if len(z) else 0
+        return pa.table({"s": pa.array([s & 0x7FFFFFFFFFFFFFFF], pa.int64()),
+                         "x": pa.array([x & 0x7FFFFFFFFFFFFFFF], pa.int64()),
                          "n": pa.array([len(u)], pa.int64())})
     t = edges.map_batches(chk, batch_format="pyarrow").to_pandas()
-    return int(t["h"].sum()), int(t["n"].sum())
+    return (int(t["s"].sum()) & 0x7FFFFFFFFFFFFFFF,
+            int(np.bitwise_xor.reduce(t["x"].to_numpy().astype(np.uint64)))
+            if len(t) else 0,
+            int(t["n"].sum()))
 
 
 def _distinct_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -111,6 +126,7 @@ def connected_components_distributed(edges: ray.data.Dataset,
     cur = _distinct_edges(edges.map_batches(_orient_high_low,
                                             batch_format="pyarrow"))
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         # ---- large-star: for each u, connect larger neighbors to
         # m = min(N(u) ∪ {u}); every edge is emitted from its lower
@@ -152,8 +168,20 @@ def connected_components_distributed(edges: ray.data.Dataset,
         cur = cur.materialize()
         sig = _checksum(cur)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # to_labels below ASSUMES a converged star forest; labelling a
+        # non-fixpoint edge set splits true components silently, so a
+        # cap exhaust must be loud (Kiveris bounds passes at O(log^2 n)
+        # — 50 covers any realistic graph, but a pathological chain or
+        # a caller-lowered cap must not produce wrong entities).
+        raise RuntimeError(
+            f"connected_components_distributed: no fixpoint after "
+            f"{max_iterations} large/small-star rounds; raise "
+            "max_iterations (labels from an unconverged edge set "
+            "would split components)")
 
     # converged: every edge is (node, root); roots get self-labels
     def to_labels(batch: pa.Table) -> pa.Table:
@@ -205,7 +233,8 @@ def connected_components_driver(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def connected_components(edges: ray.data.Dataset, mode: str = "auto",
-                         driver_limit: int = 20_000_000) -> ray.data.Dataset:
+                         driver_limit: int = 20_000_000,
+                         n_edges: int | None = None) -> ray.data.Dataset:
     """edges dataset with columns (u, v).
 
     ``driver_limit``: max edges for the driver fast path — 20M edges
@@ -213,12 +242,18 @@ def connected_components(edges: ray.data.Dataset, mode: str = "auto",
     within a head node's heap, and the vectorized label propagation
     handles it in seconds where the distributed large/small-star path
     pays several shuffle rounds.  Beyond it (true web-scale candidate
-    graphs) the distributed path takes over."""
+    graphs) the distributed path takes over.
+
+    ``n_edges``: caller-known edge count for the auto routing.  When
+    ``edges`` is a lazy projection of an already-counted dataset,
+    passing the count here avoids a full extra execution of that
+    projection (``edges.count()`` cannot use metadata through a
+    map_batches)."""
     if mode == "driver":
         return connected_components_driver(edges)
     if mode == "distributed":
         return connected_components_distributed(edges)
-    n = edges.count()
+    n = edges.count() if n_edges is None else n_edges
     if n == 0:
         return ray.data.from_arrow(pa.table({
             "record_id": pa.array([], pa.int64()),
@@ -483,6 +518,41 @@ def _cluster_partition(g: pd.DataFrame, threshold: float,
                          "confidence": np.concatenate(out_f)})
 
 
+def _attach_component_labels(kept: ray.data.Dataset,
+                             labels: ray.data.Dataset) -> ray.data.Dataset:
+    """Attach each retained edge's component_id via its ``id_a``
+    (id_a's component == id_b's for retained edges).  Size-routed: a
+    small label map (one row per matched record) broadcasts once and
+    annotates map-side — a hash join here spawns a fresh
+    aggregator-actor pool just to move a table the driver often
+    already computed; the join stays as the scale path.  Shared by
+    cluster_scored_pairs and greedy_matching (the two copies had
+    started to drift)."""
+    from dedupe_api_ray.utils import default_num_partitions, should_broadcast
+    if should_broadcast(labels):
+        ltbl = pa.concat_tables(list(labels.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        lr = ltbl["record_id"].to_numpy(zero_copy_only=False)
+        lc = ltbl["component_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lr, kind="stable")
+        lab_ref = ray.put((lr[order], lc[order]))
+
+        def attach_component(t: pa.Table) -> pa.Table:
+            r, c = ray.get(lab_ref)
+            ids = t["id_a"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(r, ids)  # every id_a is labelled
+            return t.append_column(
+                "component_id", pa.array(c[pos], pa.int64()))
+
+        return kept.map_batches(attach_component, batch_format="pyarrow")
+    labels_renamed = labels.map_batches(
+        lambda t: t.rename_columns(["id_a", "component_id"]),
+        batch_format="pyarrow")
+    return kept.join(labels_renamed, join_type="inner",
+                     num_partitions=default_num_partitions(),
+                     on=("id_a",))
+
+
 def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
                          cc_mode: str = "auto",
                          max_cluster_size: int = 1000) -> ray.data.Dataset:
@@ -516,7 +586,8 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
     edges = kept.map_batches(
         lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
         batch_format="pyarrow")
-    labels = connected_components(edges, mode=cc_mode).materialize()
+    labels = connected_components(edges, mode=cc_mode,
+                                  n_edges=kept.count()).materialize()
     _mark(f"components labelled rows={labels.count()}")
     if _debug:
         # top component sizes: the one skew signal that predicts the
@@ -535,31 +606,7 @@ def cluster_scored_pairs(scored: ray.data.Dataset, threshold: float = 0.5,
     # a hash join here spawns a fresh aggregator-actor pool just to
     # move a table the driver often already computed; the join stays
     # as the scale path.
-    from dedupe_api_ray.utils import default_num_partitions, should_broadcast
-    if should_broadcast(labels):
-        ltbl = pa.concat_tables(list(labels.iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20)))
-        lr = ltbl["record_id"].to_numpy(zero_copy_only=False)
-        lc = ltbl["component_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(lr, kind="stable")
-        lab_ref = ray.put((lr[order], lc[order]))
-
-        def attach_component(t: pa.Table) -> pa.Table:
-            r, c = ray.get(lab_ref)
-            ids = t["id_a"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(r, ids)  # every id_a is labelled
-            return t.append_column(
-                "component_id", pa.array(c[pos], pa.int64()))
-
-        with_comp = kept.map_batches(attach_component,
-                                     batch_format="pyarrow")
-    else:
-        labels_renamed = labels.map_batches(
-            lambda t: t.rename_columns(["id_a", "component_id"]),
-            batch_format="pyarrow")
-        with_comp = kept.join(labels_renamed, join_type="inner",
-                              num_partitions=default_num_partitions(),
-                              on=("id_a",))
+    with_comp = _attach_component_labels(kept, labels)
 
     # ONE group per component-hash partition, not per component: the
     # partition kernel segments components in numpy (see
@@ -619,32 +666,8 @@ def greedy_matching(scored: ray.data.Dataset, threshold: float = 0.5,
     edges = kept.map_batches(
         lambda t: pa.table({"u": t["id_a"], "v": t["id_b"]}),
         batch_format="pyarrow")
-    labels = connected_components(edges, mode=cc_mode).materialize()
-    from dedupe_api_ray.utils import default_num_partitions, should_broadcast
-    if should_broadcast(labels):
-        # same size-routed label attach as cluster_scored_pairs
-        ltbl = pa.concat_tables(list(labels.iter_batches(
-            batch_format="pyarrow", batch_size=1 << 20)))
-        lr = ltbl["record_id"].to_numpy(zero_copy_only=False)
-        lc = ltbl["component_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(lr, kind="stable")
-        lab_ref = ray.put((lr[order], lc[order]))
-
-        def attach_component(t: pa.Table) -> pa.Table:
-            r, c = ray.get(lab_ref)
-            ids = t["id_a"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(r, ids)
-            return t.append_column(
-                "component_id", pa.array(c[pos], pa.int64()))
-
-        with_comp = kept.map_batches(attach_component,
-                                     batch_format="pyarrow")
-    else:
-        labels_renamed = labels.map_batches(
-            lambda t: t.rename_columns(["id_a", "component_id"]),
-            batch_format="pyarrow")
-        with_comp = kept.join(labels_renamed, join_type="inner",
-                              num_partitions=default_num_partitions(),
-                              on=("id_a",))
+    labels = connected_components(edges, mode=cc_mode,
+                                  n_edges=kept.count()).materialize()
+    with_comp = _attach_component_labels(kept, labels)
     return with_comp.groupby("component_id").map_groups(
         _greedy_group, batch_format="pandas")

@@ -27,6 +27,25 @@ import ray.data
 from dedupe_api_ray.model import Model
 
 
+def _checked_positions(sorted_rid: np.ndarray, ids: np.ndarray,
+                       who: str) -> np.ndarray:
+    """searchsorted with a membership check: a pair id absent from the
+    records table must fail LOUDLY — an unchecked insertion point
+    silently gathers the NEXT record's payload and produces a
+    plausible but wrong score (the sidecar path verifies rid equality;
+    the payload gathers must too)."""
+    pos = np.searchsorted(sorted_rid, ids)
+    pos = np.minimum(pos, max(len(sorted_rid) - 1, 0))
+    if len(sorted_rid) == 0 or not np.array_equal(sorted_rid[pos], ids):
+        missing = (ids if len(sorted_rid) == 0
+                   else ids[sorted_rid[pos] != ids])
+        raise KeyError(
+            f"{who}: {len(missing)} pair id(s) missing from the records "
+            f"table (e.g. {missing[:3].tolist()}); pairs must reference "
+            "only ids present in the payload records")
+    return pos
+
+
 def _payload_columns(model: Model,
                      exclude: set[str] | frozenset = frozenset()
                      ) -> list[str]:
@@ -91,7 +110,8 @@ def attach_payload(pairs: ray.data.Dataset, records: ray.data.Dataset,
                 out = {"id_a": batch["id_a"], "id_b": batch["id_b"]}
                 for side in ("a", "b"):
                     ids = batch[f"id_{side}"].to_numpy(zero_copy_only=False)
-                    pos = np.searchsorted(self.sorted_rid, ids)
+                    pos = _checked_positions(self.sorted_rid, ids,
+                                             "attach_payload")
                     take = pa.array(pos)
                     for c in cols:
                         out[f"{side}_{c}"] = self.tbl[c].take(take)
@@ -422,9 +442,19 @@ class PairScorer:
         return out
 
     def _cosine_col(self, field: str, batch: pa.Table,
-                    names: set[str]) -> np.ndarray:
+                    recs_a: dict, recs_b: dict) -> np.ndarray | None:
+        """Cosine column for one Text field — from the sidecar when it
+        covers the field, else from the gathered values (fused payload
+        OR attached a_/b_ columns; pre-tokenized __tokens columns are
+        used when present).  Returns None when NEITHER source carries
+        the field, so DataModel.distances raises its descriptive
+        missing-payload error instead of a bare KeyError here."""
         if field in self.sidecar:
             return self._cosine_sidecar(field, batch)
+        val_a = recs_a.get(field)
+        val_b = recs_b.get(field)
+        if val_a is None or val_b is None:
+            return None
         from dedupe_api_ray.functions.kernels import (cosine_from_stats,
                                                       tf_stats)
         from dedupe_api_ray.functions.text import tokens_of
@@ -432,9 +462,8 @@ class PairScorer:
         idf = self.model.idf.get(field)
         ids_a = batch["id_a"].to_pylist()
         ids_b = batch["id_b"].to_pylist()
-        tok_a = tok_b = None
-        val_a = batch[f"a_{field}"].to_pylist()
-        val_b = batch[f"b_{field}"].to_pylist()
+        tok_a = recs_a.get(f"{field}__tokens")
+        tok_b = recs_b.get(f"{field}__tokens")
         if len(self._tf_cache) > self._CACHE_CAP:
             self._tf_cache.clear()
         cache = self._tf_cache
@@ -464,7 +493,8 @@ class PairScorer:
             sorted_rid, ptbl, pcols = self.payload
             for side in ("a", "b"):
                 ids = batch[f"id_{side}"].to_numpy(zero_copy_only=False)
-                take = pa.array(np.searchsorted(sorted_rid, ids))
+                take = pa.array(_checked_positions(sorted_rid, ids,
+                                                   "PairScorer payload"))
                 recs = recs_a if side == "a" else recs_b
                 for c in pcols:
                     recs[c] = ptbl[c].take(take).to_pylist()
@@ -474,8 +504,11 @@ class PairScorer:
                 continue  # token cols absent on the join path
             recs_a[c] = batch[f"a_{c}"].to_pylist()
             recs_b[c] = batch[f"b_{c}"].to_pylist()
-        precomputed = {f: self._cosine_col(f, batch, names)
-                       for f in self.text_fields}
+        precomputed = {}
+        for f in self.text_fields:
+            d = self._cosine_col(f, batch, recs_a, recs_b)
+            if d is not None:
+                precomputed[f] = d
         # n explicit: a Text-only model whose single field is sidecar-
         # covered ships NO a_/b_ columns at all (recs_a empty)
         x = self.dm.distances(recs_a, recs_b, precomputed=precomputed,
