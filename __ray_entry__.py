@@ -884,6 +884,43 @@ def _q_doc_fingerprint(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrub (extras.pii).  The synthetic corpus carries no PII,
+    so the query deterministically plants one email / SSN / phone /
+    IPv4 per document, derived from doc_id — IDENTICALLY in the SQL
+    oracle (same concat expression) — so the redaction kernels are
+    exercised on every row.  Counts + redaction are whole-batch Arrow
+    RE2 kernels; the augmentation is vectorized too."""
+    from dedupe_api_ray.extras.pii import pii_counts_batch, redact_pii_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        aug = pc.binary_join_element_wise(
+            t["text"],
+            " contact user", pa.array(did.astype(str)),
+            "@example.com call 555-123-",
+            pa.array(np.char.zfill((did % 10000).astype(str), 4)),
+            " ip 10.0.", pa.array((did % 256).astype(str)),
+            ".", pa.array((did % 100).astype(str)),
+            " ssn 123-45-6789",
+            "")
+        out = pa.table({"doc_id": t["doc_id"], "text": aug})
+        out = redact_pii_batch(pii_counts_batch(out))
+        return out.select(["doc_id", "n_email", "n_ssn", "n_phone",
+                           "n_ipv4", "n_pii", "text_redacted"])
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _q_dup_ngram_stats(sf_dir: str):
+    """Cross-document duplicate 8-gram statistics (extras.ngram_dup):
+    the exact-substring-dedup primitive (Lee et al. 2022) — per doc,
+    how many of its distinct 8-token shingles occur in >= 2 docs."""
+    from dedupe_api_ray.extras.ngram_dup import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(sf_dir), w=8, min_docs=2,
+                           concurrency=(1, 4))
+
+
 def _q_cc_components(sf_dir: str):
     """G1 over an edge graph defined from the data: documents of the
     same source whose n_chars differ by <= 5 (chains across docs →
@@ -1143,6 +1180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "pii_redact": _q_pii_redact,
+        "dup_ngram_stats": _q_dup_ngram_stats,
         # M5/G7 + near-dup family
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -1206,6 +1245,30 @@ def oracle_sql() -> dict[str, str]:
     # uint64 wraparound exactly (extras.textstats.fingerprint_batch)
     _fp_pows = "[" + ", ".join(
         f"{pow(1000003, 15 - j, 1 << 64)}::HUGEINT" for j in range(16)) + "]"
+    # pii_redact oracle: the SAME patterns (extras.pii.PII_PATTERNS,
+    # RE2-portable by construction) applied in the SAME order; the
+    # deterministic PII augmentation is the same concat expression the
+    # engine query builds vectorized
+    from dedupe_api_ray.extras.pii import PII_PATTERNS
+    _pii_aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+                "'@example.com call 555-123-' || "
+                "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+                "' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+                "CAST(doc_id % 100 AS VARCHAR) || ' ssn 123-45-6789'")
+    _pii_counts = []
+    _pii_red = "t"
+    for _name, _pat, _rep in PII_PATTERNS:
+        _p = _pat.replace("'", "''")
+        _pii_counts.append(
+            f"len(regexp_extract_all(t, '{_p}')) AS n_{_name}")
+        _pii_red = f"regexp_replace({_pii_red}, '{_p}', '{_rep}', 'g')"
+    _pii_sql = f"""
+        WITH aug AS (SELECT doc_id, {_pii_aug} AS t FROM documents),
+        c AS (SELECT doc_id, t, {', '.join(_pii_counts)} FROM aug)
+        SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
+               n_email + n_ssn + n_phone + n_ipv4 AS n_pii,
+               {_pii_red} AS text_redacted
+        FROM c"""
     minhash_cte = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok FROM documents
@@ -1740,6 +1803,27 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
             )
             SELECT d.doc_id, coalesce(sh.fingerprint, 0) AS fingerprint
             FROM documents d LEFT JOIN sh USING (doc_id)""",
+        "pii_redact": _pii_sql,
+        # string shingles stand in for the engine's 64-bit shingle
+        # hashes — identical counts up to a ~n^2/2^64 collision
+        "dup_ngram_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(ts, i, i + 7), ' ') AS s
+              FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+              WHERE len(ts) >= 8
+            ), cnt AS (
+              SELECT s, count(*) AS n_docs FROM sh GROUP BY s
+            )
+            SELECT sh.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0
+                       END)::BIGINT AS n_dup,
+                   round(sum(CASE WHEN cnt.n_docs >= 2 THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS dup_fraction
+            FROM sh JOIN cnt USING (s)
+            GROUP BY sh.doc_id""",
         "simhash_docs": f"""
             WITH toks AS (
               SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok
