@@ -911,6 +911,15 @@ def _q_pii_redact(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Intra-doc repetition quality filters (Gopher/Rae et al. 2021):
+    top-token share and duplicated-bigram occurrence share."""
+    from dedupe_api_ray.extras.textstats import repetition_stats_batch
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow")
+
+
 def _q_dup_ngram_stats(sf_dir: str):
     """Cross-document duplicate 8-gram statistics (extras.ngram_dup):
     the exact-substring-dedup primitive (Lee et al. 2022) — per doc,
@@ -1182,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "pii_redact": _q_pii_redact,
         "dup_ngram_stats": _q_dup_ngram_stats,
+        "repetition_stats": _q_repetition_stats,
         # M5/G7 + near-dup family
         "exact_dedup": _q_exact_dedup,
         "minhash_bands": _q_minhash_bands,
@@ -1804,6 +1814,31 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
             SELECT d.doc_id, coalesce(sh.fingerprint, 0) AS fingerprint
             FROM documents d LEFT JOIN sh USING (doc_id)""",
         "pii_redact": _pii_sql,
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+            ), tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+            tc AS (SELECT doc_id, w, count(*) AS c FROM tok
+                   GROUP BY doc_id, w),
+            top AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM tc
+                    GROUP BY doc_id),
+            bg AS (SELECT doc_id,
+                          array_to_string(list_slice(ts, i, i + 1), ' ')
+                            AS b
+                   FROM toks, unnest(range(1, len(ts))) AS u(i)
+                   WHERE len(ts) >= 2),
+            bc AS (SELECT doc_id, b, count(*) AS c FROM bg
+                   GROUP BY doc_id, b),
+            bs AS (SELECT doc_id,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                          sum(c) AS tot
+                   FROM bc GROUP BY doc_id)
+            SELECT t.doc_id, t.n::BIGINT AS n_tokens,
+                   round(t.mx * 1.0 / t.n, 6) AS top_token_ratio,
+                   round(coalesce(b.dup, 0) * 1.0 /
+                         greatest(coalesce(b.tot, 0), 1), 6)
+                     AS dup_bigram_fraction
+            FROM top t LEFT JOIN bs b USING (doc_id)""",
         # string shingles stand in for the engine's 64-bit shingle
         # hashes — identical counts up to a ~n^2/2^64 collision
         "dup_ngram_stats": f"""

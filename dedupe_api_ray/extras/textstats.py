@@ -131,6 +131,42 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column("fingerprint", pa.array(out, pa.int64()))
 
 
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Intra-document repetition heuristics (Gopher-style quality
+    filters, Rae et al. 2021): ``top_token_ratio`` — the share of the
+    single most frequent token — and ``dup_bigram_fraction`` — the
+    share of bigram OCCURRENCES whose bigram repeats within the doc.
+    High values mark boilerplate/keyword-stuffed pages that
+    document-level dedup misses.  One row per input doc with >= 1
+    token (matching the SQL oracle's unnest semantics); ratios rounded
+    half-away at 6 dp."""
+    ids_in = batch.column_names[0]  # caller selects (id, text)
+    out_id, n_tok, top_r, dup_b = [], [], [], []
+    for did, t in zip(batch[ids_in].to_pylist(),
+                      batch[text_col].to_pylist()):
+        toks = TOKEN_RE.findall(t.lower()) if t else []
+        n = len(toks)
+        if n == 0:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        _, cnt = np.unique(arr, return_counts=True)
+        out_id.append(did)
+        n_tok.append(n)
+        top_r.append(round6(int(cnt.max()) / n))
+        if n < 2:
+            dup_b.append(0.0)
+            continue
+        big = np.asarray([f"{a} {b}" for a, b in zip(toks, toks[1:])],
+                         dtype=object)
+        _, bc = np.unique(big, return_counts=True)
+        dup_b.append(round6(int(bc[bc > 1].sum()) / (n - 1)))
+    return pa.table({ids_in: pa.array(out_id, pa.int64()),
+                     "n_tokens": pa.array(n_tok, pa.int64()),
+                     "top_token_ratio": pa.array(top_r, pa.float64()),
+                     "dup_bigram_fraction": pa.array(dup_b, pa.float64())})
+
+
 def add_text_stats(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     return ds.map_batches(lambda t: quality_score_batch(t, text_col),
                           batch_format="pyarrow")

@@ -71,6 +71,22 @@ def test_dup_ngram_stats_basic(ray_session):
     assert abs(df.loc[1, "dup_fraction"] - 0.333333) < 1e-9
 
 
+def test_repetition_stats_values():
+    from dedupe_api_ray.extras.textstats import repetition_stats_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["batch batch batch", "a b c d a b",
+                                    "x", ""])})
+    df = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    assert list(df.index) == [1, 2, 3]  # empty doc emits no row
+    assert df.loc[1, "top_token_ratio"] == 1.0
+    assert df.loc[1, "dup_bigram_fraction"] == 1.0  # 'batch batch' x2 of 2
+    assert abs(df.loc[2, "top_token_ratio"] - 0.333333) < 1e-9
+    assert df.loc[2, "dup_bigram_fraction"] == 0.4  # 'a b' x2 of 5
+    assert df.loc[3, "n_tokens"] == 1
+    assert df.loc[3, "dup_bigram_fraction"] == 0.0
+
+
 def test_dup_ngram_join_path_matches_broadcast(ray_session, monkeypatch):
     """The size-routed flag attach: hash-join scale path must produce
     the identical result to the broadcast path."""
