@@ -603,6 +603,28 @@ def _q_events_sessionize(sf_dir: str):
     return sessionize(ev, gap_minutes=30.0)
 
 
+def _q_events_orders_asof(sf_dir: str):
+    """Backward as-of join: each event picks the user's most recent
+    high-value order (o_totalprice >= 450000, ~top 5% so a real mix of
+    matched and null rows) at-or-before the event time; o_orderkey
+    breaks o_orderdate ties deterministically.  Oracle: LEFT JOIN
+    LATERAL ... ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1."""
+    from dedupe_api_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["o_totalprice"],
+                                                450000.0)),
+            batch_format="pyarrow")
+    return asof_join(ev, orders, left_on="user_id", right_on="o_custkey",
+                     left_ts="ts", right_ts="o_orderdate",
+                     right_cols=["o_orderkey", "o_totalprice"],
+                     right_tiebreak="o_orderkey")
+
+
 def _q_q1_lineitem(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -1215,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_filter_sort": _q_threshold_filter_sort,
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
+        "events_orders_asof": _q_events_orders_asof,
         "q1_lineitem_agg": _q_q1_lineitem,
         "orders_customer_join": _q_orders_customer_join,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
@@ -1707,6 +1730,16 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                      AS sum_value_cents,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id""",
+        "events_orders_asof": """
+            SELECT e.event_id, e.ts, e.user_id,
+                   o.o_orderkey AS o_orderkey_asof,
+                   o.o_totalprice AS o_totalprice_asof
+            FROM events e LEFT JOIN LATERAL (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+                  AND o_totalprice >= 450000.0
+                ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+            ) o ON TRUE""",
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    cast(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_cents,

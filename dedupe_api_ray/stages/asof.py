@@ -1,0 +1,198 @@
+"""Backward as-of join — for every left row, the single right row of
+the same key with the greatest timestamp at-or-before the left row's
+timestamp (the classic point-in-time enrichment: "state as of this
+event").  Ray Data has no native as-of join; this is the documented
+composition path for it (map_batches partition tag on a union → one
+``groupby().map_groups`` partition kernel), per the brief's
+custom-operator ladder (composition before actors before raw tasks).
+
+Semantics (deterministic, total): match = the right row maximizing
+(ts, tiebreak) subject to right.ts <= left.ts and equal key; left rows
+with no qualifying right row get nulls.  Ties on ts resolve by the
+``right_tiebreak`` column (pass a unique id to make the join fully
+deterministic — the SQL equivalent is ``ORDER BY ts DESC, tiebreak
+DESC LIMIT 1`` in a LEFT JOIN LATERAL, which DuckDB's bare ASOF JOIN
+leaves unspecified).  Without a tiebreak, equal-timestamp right rows
+resolve by partition arrival order, which is NOT stable across runs.
+
+Scale shape: both sides are hash-partitioned by key (ONE shuffle
+total — the sides are unioned first, so left and right rows of a key
+land in the same partition), and each partition is resolved by one
+vectorized kernel: a lexsort over (key, ts, side, tiebreak) followed
+by a running-maximum scan carrying the latest right-row position
+forward.  Sorting right rows (side 0) before left rows (side 1) at
+equal timestamps makes the bound inclusive, and key-contiguity after
+the sort means a key-equality check on the matched row is exact.  No
+per-key Python; payload columns move only via Arrow ``take``, so
+types (and 64-bit integer exactness) are preserved end-to-end.
+
+Partitioning assumption: one key's rows (both sides together) fit in
+one partition — the same assumption sessionize and the clustering
+kernels document.  Partition ids come from ``pandas.util.hash_array``
+(fixed internal hash key, so deterministic across processes — unlike
+Python's per-process-salted ``hash()``), so results are independent
+of parallelism; ``tests/test_asof.py`` asserts that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """The dataset's underlying Arrow schema (``Schema.types`` on the
+    Ray wrapper can surface Python classes, not pa.DataType)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+            continue
+        try:
+            fields.append(pa.field(n, pa.from_numpy_dtype(np.dtype(t))))
+        except (TypeError, pa.ArrowNotImplementedError):
+            # pandas-block datasets surface object dtype for strings;
+            # parquet-sourced datasets never take this branch
+            fields.append(pa.field(n, pa.string()))
+    return pa.schema(fields)
+
+
+def _key_partition(vals: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic partition id per key value (any dtype)."""
+    h = pd.util.hash_array(np.asarray(vals), categorize=False)
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def _sort_key_ints(col: pa.ChunkedArray) -> np.ndarray:
+    """Column → int64 codes that order identically to the values.
+    Key and ts columns are null-free by construction (both sides
+    supply them), so factorize/cast is exact."""
+    vals = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(vals.dtype, np.datetime64):
+        return vals.astype("datetime64[us]").astype(np.int64)
+    if np.issubdtype(vals.dtype, np.integer):
+        return vals.astype(np.int64, copy=False)
+    codes, _ = pd.factorize(vals, sort=True)
+    return codes.astype(np.int64, copy=False)
+
+
+def _asof_partition(g: pa.Table, key: str, ts_col: str,
+                    left_cols: list[str], out_cols: list[str],
+                    tb_col: str | None) -> pa.Table:
+    n = g.num_rows
+    kc = _sort_key_ints(g[key])
+    t = _sort_key_ints(g[ts_col])
+    side = g["__side"].to_numpy(zero_copy_only=False)
+    if tb_col is not None:
+        # null on left rows (irrelevant there: side orders right rows
+        # before left at equal ts regardless of tiebreak)
+        tb = pc.fill_null(g[tb_col], 0).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(tb.dtype, np.number):
+            raise TypeError("right_tiebreak must be a numeric column")
+    else:
+        tb = np.zeros(n, dtype=np.int8)
+    # key asc, ts asc, right (0) before left (1) at equal ts
+    # (inclusive <=), tiebreak asc so the running max lands on the
+    # highest-tiebreak right row among equal timestamps
+    order = np.lexsort((tb, side, t, kc))
+    ks, sides = kc[order], side[order]
+    rr = np.where(sides == 0, np.arange(n), -1)
+    last = np.maximum.accumulate(rr)
+    li = np.flatnonzero(sides == 1)
+    ml = last[li]
+    valid = (ml >= 0) & (ks[np.maximum(ml, 0)] == ks[li])
+    left_idx = order[li]
+    # invalid matches gather an arbitrary row, then get nulled
+    match_idx = order[np.where(valid, ml, 0)]
+    take_left = pa.array(left_idx, pa.int64())
+    take_match = pa.array(match_idx, pa.int64())
+    valid_arr = pa.array(valid)
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {
+        c: g[c].take(take_left) for c in left_cols}
+    for c in out_cols:
+        taken = g[c].take(take_match)
+        cols[c] = pc.if_else(valid_arr, taken,
+                             pa.scalar(None, type=taken.type))
+    return pa.table(cols)
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+              left_on: str, left_ts: str, right_cols: list[str],
+              right_on: str | None = None, right_ts: str | None = None,
+              suffix: str = "_asof", right_tiebreak: str | None = None,
+              num_partitions: int | None = None) -> ray.data.Dataset:
+    """Backward as-of join: one output row per LEFT row, carrying all
+    left columns plus ``<c><suffix>`` for every ``right_cols`` entry
+    (null when the key has no right row at-or-before the left ts)."""
+    from dedupe_api_ray.utils import shuffle_partitions
+    n_parts = shuffle_partitions(num_partitions)
+    right_on = right_on or left_on
+    right_ts = right_ts or left_ts
+    left_schema = _arrow_schema(left)
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    carry = list(dict.fromkeys(
+        right_cols + ([right_tiebreak] if right_tiebreak else [])))
+    # right payload travels under its OUTPUT name from the start, so
+    # shared left/right column names (e.g. both sides having "ts")
+    # can never collide in the union schema
+    out_names = {c: f"{c}{suffix}" for c in carry}
+    clash = [v for v in out_names.values() if v in left_cols]
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {clash} already exist on the "
+            f"left side; pass a different suffix")
+    right_schema = _arrow_schema(right)
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    missing = [c for c in carry + [right_on, right_ts]
+               if c not in right_types]
+    if missing:
+        raise ValueError(f"right side lacks columns {missing}")
+    union_names = left_cols + [out_names[c] for c in carry]
+    union_types = {**left_types,
+                   **{out_names[c]: right_types[c] for c in carry}}
+
+    def _finish(t: pa.Table, side: int, keys: np.ndarray) -> pa.Table:
+        part = _key_partition(keys, n_parts)
+        return t.append_column("__part", pa.array(part, pa.int64())) \
+            .append_column("__side", pa.array(
+                np.full(t.num_rows, side, dtype=np.int8), pa.int8()))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        arrs = [t[c] for c in left_cols] + \
+            [pa.nulls(t.num_rows, union_types[out_names[c]])
+             for c in carry]
+        u = pa.table(dict(zip(union_names, arrs)))
+        return _finish(u, 1, t[left_on].to_numpy(zero_copy_only=False))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        arrs = []
+        for c in left_cols:
+            if c == left_on:
+                arrs.append(pc.cast(t[right_on], left_types[c]))
+            elif c == left_ts:
+                arrs.append(pc.cast(t[right_ts], left_types[c]))
+            else:
+                arrs.append(pa.nulls(t.num_rows, left_types[c]))
+        arrs += [t[c] for c in carry]
+        u = pa.table(dict(zip(union_names, arrs)))
+        return _finish(u, 0, t[right_on].to_numpy(zero_copy_only=False))
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    out_cols = [out_names[c] for c in right_cols]
+    tb_col = out_names[right_tiebreak] if right_tiebreak else None
+
+    def kernel(g: pa.Table) -> pa.Table:
+        return _asof_partition(g, left_on, left_ts, left_cols,
+                               out_cols, tb_col)
+
+    return unioned.groupby("__part", num_partitions=n_parts) \
+        .map_groups(kernel, batch_format="pyarrow")
