@@ -625,6 +625,32 @@ def _q_events_orders_asof(sf_dir: str):
                      right_tiebreak="o_orderkey")
 
 
+def _q_events_interval_join(sf_dir: str):
+    """Range join: every high-value event (value >= 100) opens a 12h
+    attribution window for its user; join each event to every window
+    containing it (inclusive ends).  Oracle: plain theta join with
+    BETWEEN."""
+    from dedupe_api_ray.stages.ranges import interval_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t["value"], 100.0))
+        w_end = pc.add(keep["ts"],
+                       pa.scalar(12 * 3600 * 1_000_000, pa.duration("us")))
+        return pa.table({"user_id": keep["user_id"],
+                         "w_start": keep["ts"], "w_end": w_end,
+                         "src_event_id": keep["event_id"],
+                         "src_value": keep["value"]})
+
+    win = _read(sf_dir, "events",
+                columns=["event_id", "ts", "user_id", "value"]) \
+        .map_batches(windows, batch_format="pyarrow")
+    return interval_join(ev, win, left_on="user_id", left_ts="ts",
+                         right_start="w_start", right_end="w_end",
+                         right_cols=["src_event_id", "src_value"])
+
+
 def _q_q1_lineitem(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -1238,6 +1264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_sessionize": _q_events_sessionize,
         "events_orders_asof": _q_events_orders_asof,
+        "events_interval_join": _q_events_interval_join,
         "q1_lineitem_agg": _q_q1_lineitem,
         "orders_customer_join": _q_orders_customer_join,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
@@ -1740,6 +1767,14 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                   AND o_totalprice >= 450000.0
                 ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
             ) o ON TRUE""",
+        "events_interval_join": """
+            SELECT e.event_id, e.ts, e.user_id,
+                   h.event_id AS src_event_id_iv,
+                   h.value AS src_value_iv
+            FROM events e JOIN events h
+              ON e.user_id = h.user_id AND h.value >= 100.0
+             AND e.ts >= h.ts
+             AND e.ts <= h.ts + INTERVAL 12 HOUR""",
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    cast(round(sum(l_quantity) * 100, 0) AS BIGINT) AS sum_qty_cents,
