@@ -932,6 +932,29 @@ def _q_doc_fingerprint(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_doc_sample_fraction(sf_dir: str):
+    """Deterministic Bernoulli sample (25%, seed 1): shuffle-free
+    splitmix64 threshold filter.  Oracle: the same avalanche in
+    HUGEINT modular arithmetic."""
+    from dedupe_api_ray.extras.sampling import bernoulli_sample
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source", "n_chars"])
+    return bernoulli_sample(docs, id_col="doc_id", fraction=0.25, seed=1)
+
+
+def _q_doc_sample_stratified(sf_dir: str):
+    """Exact per-(lang, source) quota sample (n=4, seed 2): the four
+    lowest-hash docs per group.  Oracle: row_number() over the same
+    splitmix64 ranks."""
+    from dedupe_api_ray.extras.sampling import stratified_sample
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang", "source"])
+    return stratified_sample(docs, key_cols=["lang", "source"],
+                             id_col="doc_id", n=4, seed=2)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrub (extras.pii).  The synthetic corpus carries no PII,
     so the query deterministically plants one email / SSN / phone /
@@ -1237,6 +1260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_sample_fraction": _q_doc_sample_fraction,
+        "doc_sample_stratified": _q_doc_sample_stratified,
         "pii_redact": _q_pii_redact,
         "dup_ngram_stats": _q_dup_ngram_stats,
         "repetition_stats": _q_repetition_stats,
@@ -1289,7 +1314,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _splitmix_cte(cols: str, id_col: str, seed: int) -> str:
+    """CTE chain computing extras.sampling.sample_hash(id, seed) as a
+    UBIGINT column ``h`` over ``documents`` — splitmix64 in HUGEINT
+    modular arithmetic, multiplies split into 32-bit halves so the
+    products stay inside INT128."""
+    m = 1 << 64
+    off = ((seed + 1) * 0x9E3779B97F4A7C15) % m
+
+    def mul(zexpr: str, c: int) -> str:
+        return (f"cast(((cast({zexpr} AS HUGEINT) * {c >> 32}) "
+                f"% 4294967296 * 4294967296 "
+                f"+ cast({zexpr} AS HUGEINT) * {c & 0xFFFFFFFF}) "
+                f"% {m} AS UBIGINT)")
+
+    return f"""
+            WITH z0 AS (SELECT {cols},
+                   cast((cast({id_col} AS HUGEINT) + {off}) % {m}
+                        AS UBIGINT) AS z FROM documents),
+            z1 AS (SELECT {cols},
+                   {mul('xor(z, z >> 30)', 0xBF58476D1CE4E5B9)} AS z
+                   FROM z0),
+            z2 AS (SELECT {cols},
+                   {mul('xor(z, z >> 27)', 0x94D049BB133111EB)} AS z
+                   FROM z1),
+            hh AS (SELECT {cols}, xor(z, z >> 31) AS h FROM z2)"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from dedupe_api_ray.extras.sampling import fraction_threshold
+
     per = _NUM_PERM // _BANDS
     # lang_id oracle: the trigram+stopword vote is a deterministic pure
     # function — the SQL scores with the SAME pinned profiles
@@ -1882,6 +1936,18 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
             SELECT d.doc_id, coalesce(sh.fingerprint, 0) AS fingerprint
             FROM documents d LEFT JOIN sh USING (doc_id)""",
         "pii_redact": _pii_sql,
+        "doc_sample_fraction": f"""
+            {_splitmix_cte("doc_id, lang, source, n_chars", "doc_id", 1)}
+            SELECT doc_id, lang, source, n_chars FROM hh
+            WHERE h < {fraction_threshold(0.25)}::UBIGINT""",
+        "doc_sample_stratified": f"""
+            {_splitmix_cte("doc_id, lang, source", "doc_id", 2)}
+            SELECT doc_id, lang, source FROM (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang, source
+                                        ORDER BY h, doc_id) AS rn
+              FROM hh)
+            WHERE rn <= 4""",
         "repetition_stats": f"""
             WITH toks AS (
               SELECT doc_id, {_TOK_SQL} AS ts FROM documents
