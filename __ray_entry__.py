@@ -651,6 +651,37 @@ def _q_events_interval_join(sf_dir: str):
                          right_cols=["src_event_id", "src_value"])
 
 
+def _orders_high(sf_dir: str):
+    return _read(sf_dir, "orders",
+                 columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["o_totalprice"],
+                                                400000.0)),
+            batch_format="pyarrow")
+
+
+def _q_customer_semi_orders(sf_dir: str):
+    """Semi join: customers with at least one order >= 400000.
+    Oracle: WHERE EXISTS."""
+    from dedupe_api_ray.stages.semi import semi_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"])
+    return semi_join(cust, _orders_high(sf_dir), left_on="c_custkey",
+                     right_on="o_custkey")
+
+
+def _q_customer_anti_orders(sf_dir: str):
+    """Anti join: customers with NO order >= 400000.  Oracle:
+    WHERE NOT EXISTS."""
+    from dedupe_api_ray.stages.semi import anti_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"])
+    return anti_join(cust, _orders_high(sf_dir), left_on="c_custkey",
+                     right_on="o_custkey")
+
+
 def _q_q1_lineitem(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -1292,6 +1323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": _q_events_interval_join,
         "q1_lineitem_agg": _q_q1_lineitem,
         "orders_customer_join": _q_orders_customer_join,
+        "customer_semi_orders": _q_customer_semi_orders,
+        "customer_anti_orders": _q_customer_anti_orders,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
         "cc_components": _q_cc_components,
         "canonicalize_reps": _q_canonicalize,
@@ -1835,6 +1868,16 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_rev_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "customer_semi_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice >= 400000.0)""",
+        "customer_anti_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice >= 400000.0)""",
         "orders_customer_join": """
             SELECT c_mktsegment, count(*) AS n_orders,
                    cast(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
