@@ -986,6 +986,39 @@ def _q_doc_sample_stratified(sf_dir: str):
                              id_col="doc_id", n=4, seed=2)
 
 
+def _q_url_canonicalize(sf_dir: str):
+    """URL canonicalize + host extract (functions.urls).  The corpus
+    has no URL column, so the query plants a messy URL per doc —
+    mixed case, default/nondefault/absent ports, unsorted duplicate
+    query params, fragments — derived from doc_id IDENTICALLY in the
+    SQL oracle (same concat expression), which then replays the
+    canonicalization with the same RE2 patterns + list_sort."""
+    from dedupe_api_ray.functions.urls import canonicalize_url_batches
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        dv = did.to_numpy(zero_copy_only=False)
+        port = pc.case_when(
+            pc.make_struct(pa.array(dv % 3 == 0), pa.array(dv % 3 == 1)),
+            ":80", ":8080", "")
+        q = pc.if_else(
+            pa.array(dv % 2 == 0),
+            pc.binary_join_element_wise(
+                "?b=", pa.array((dv % 7).astype(str)),
+                "&a=", pa.array((dv % 5).astype(str)), ""),
+            "")
+        frag = pc.if_else(pa.array(dv % 4 == 0), "#s", "")
+        url = pc.binary_join_element_wise(
+            "HTTP://WWW.", t["source"], ".COM", port,
+            "/P", pc.cast(did, pa.string()), q, frag, "")
+        return pa.table({"doc_id": did, "url": url})
+
+    return canonicalize_url_batches(
+        docs.map_batches(synth, batch_format="pyarrow"))
+
+
 def _q_pii_redact(sf_dir: str):
     """PII scrub (extras.pii).  The synthetic corpus carries no PII,
     so the query deterministically plants one email / SSN / phone /
@@ -1291,6 +1324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "url_canonicalize": _q_url_canonicalize,
         "doc_sample_fraction": _q_doc_sample_fraction,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "pii_redact": _q_pii_redact,
@@ -1376,6 +1410,8 @@ def _splitmix_cte(cols: str, id_col: str, seed: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from dedupe_api_ray.extras.sampling import fraction_threshold
+    from dedupe_api_ray.functions.urls import PORT_RE as _PORT_RE
+    from dedupe_api_ray.functions.urls import URL_RE as _URL_RE
 
     per = _NUM_PERM // _BANDS
     # lang_id oracle: the trigram+stopword vote is a deterministic pure
@@ -1979,6 +2015,53 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
             SELECT d.doc_id, coalesce(sh.fingerprint, 0) AS fingerprint
             FROM documents d LEFT JOIN sh USING (doc_id)""",
         "pii_redact": _pii_sql,
+        "url_canonicalize": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTP://WWW.' || source || '.COM'
+                     || CASE WHEN doc_id % 3 = 0 THEN ':80'
+                             WHEN doc_id % 3 = 1 THEN ':8080'
+                             ELSE '' END
+                     || '/P' || doc_id
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN '?b=' || (doc_id % 7)
+                                  || '&a=' || (doc_id % 5)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN '#s' ELSE '' END
+                       AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     regexp_matches(url, '{_URL_RE}') AS ok,
+                     lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
+                     regexp_extract(url, '{_URL_RE}', 2) AS auth,
+                     regexp_extract(url, '{_URL_RE}', 3) AS path,
+                     regexp_extract(url, '{_URL_RE}', 4) AS query
+              FROM u),
+            hp AS (
+              SELECT *,
+                     lower(regexp_extract(auth, '{_PORT_RE}', 1)) AS h,
+                     regexp_extract(auth, '{_PORT_RE}', 2) AS port
+              FROM p),
+            c AS (
+              SELECT *,
+                     h || CASE WHEN port <> ''
+                               AND port <> (CASE scheme
+                                            WHEN 'http' THEN '80'
+                                            WHEN 'https' THEN '443'
+                                            ELSE '' END)
+                               THEN ':' || port ELSE '' END AS hostport,
+                     array_to_string(
+                       list_sort(string_split(query, '&')), '&')
+                       AS qsorted
+              FROM hp)
+            SELECT doc_id, url,
+                   CASE WHEN ok THEN scheme || '://' || hostport || path
+                        || CASE WHEN qsorted <> '' THEN '?' || qsorted
+                                ELSE '' END
+                        ELSE url END AS url_canon,
+                   CASE WHEN ok THEN h ELSE NULL END AS host
+            FROM c""",
         "doc_sample_fraction": f"""
             {_splitmix_cte("doc_id, lang, source, n_chars", "doc_id", 1)}
             SELECT doc_id, lang, source, n_chars FROM hh

@@ -1,0 +1,49 @@
+"""URL canonicalization (functions/urls.py): spec cases, dirty-input
+passthrough, dataset stage."""
+
+import pandas as pd
+import pyarrow as pa
+
+from dedupe_api_ray.functions.urls import (canonicalize_url_batches,
+                                           canonicalize_urls)
+
+
+def test_canonicalize_spec_cases():
+    cases = {
+        # case-fold scheme+host, strip :80, drop fragment, sort params
+        "HTTP://WWW.Ex.COM:80/Path/x?b=2&a=1&a=0#frag":
+            ("http://www.ex.com/Path/x?a=0&a=1&b=2", "www.ex.com"),
+        # non-default port kept
+        "https://a.b.c:8443/": ("https://a.b.c:8443/", "a.b.c"),
+        # https default port stripped
+        "https://S.com:443/q?x=1#y": ("https://s.com/q?x=1", "s.com"),
+        # empty query dropped; path case preserved
+        "http://Host/P?": ("http://host/P", "host"),
+        # unknown scheme: port kept (no default defined)
+        "ftp://X.Y:21/f?z=1&y=2": ("ftp://x.y:21/f?y=2&z=1", "x.y"),
+        # bare host, no path
+        "http://h": ("http://h", "h"),
+    }
+    canon, host = canonicalize_urls(pa.array(list(cases)))
+    for url, c, h in zip(cases, canon.to_pylist(), host.to_pylist()):
+        assert (c, h) == cases[url], url
+
+
+def test_canonicalize_dirty_passthrough():
+    u = pa.array(["not a url", "", None, "missing://"])
+    canon, host = canonicalize_urls(u)
+    assert canon.to_pylist() == ["not a url", "", None, "missing://"]
+    assert host.to_pylist() == [None, None, None, ""]
+
+
+def test_canonicalize_dataset_stage(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"url": ["HTTP://A.com:80/x?b=1&a=2", "junk"],
+                       "rid": [0, 1]})
+    out = canonicalize_url_batches(ray.data.from_pandas(df)) \
+        .to_pandas().sort_values("rid")
+    assert list(out.columns) == ["url", "rid", "url_canon", "host"]
+    assert out["url_canon"].tolist() == ["http://a.com/x?a=2&b=1", "junk"]
+    assert out["host"].tolist()[0] == "a.com"
+    assert pd.isna(out["host"].tolist()[1])
