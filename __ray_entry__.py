@@ -2040,12 +2040,14 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
               FROM u),
             hp AS (
               SELECT *,
-                     lower(regexp_extract(auth, '{_PORT_RE}', 1)) AS h,
-                     regexp_extract(auth, '{_PORT_RE}', 2) AS port
+                     regexp_extract(auth, '{_PORT_RE}', 1) AS usr,
+                     lower(regexp_extract(auth, '{_PORT_RE}', 2)) AS h,
+                     regexp_extract(auth, '{_PORT_RE}', 3) AS port
               FROM p),
             c AS (
               SELECT *,
-                     h || CASE WHEN port <> ''
+                     CASE WHEN usr <> '' THEN usr || '@' ELSE '' END
+                     || h || CASE WHEN port <> ''
                                AND port <> (CASE scheme
                                             WHEN 'http' THEN '80'
                                             WHEN 'https' THEN '443'

@@ -9,7 +9,9 @@ driver-brief training-data-pipeline addition, like extras/pii.py.
 Canonical form (deliberately small, exactly specified, and
 reproducible in SQL):
 
-1. scheme and host lowercased (userinfo, path, query untouched),
+1. scheme and host lowercased (userinfo, path, query values
+   untouched — userinfo is case-sensitive; an empty userinfo is
+   dropped),
 2. an explicit default port dropped (``:80`` for http, ``:443`` for
    https; any other port kept),
 3. the fragment removed,
@@ -43,9 +45,10 @@ import ray.data
 URL_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
           r"(?P<auth>[^/?#]*)(?P<path>[^?#]*)"
           r"(?:\?(?P<query>[^#]*))?(?:#.*)?$")
-# authority → host[:port]; RE2 has no backtracking surprises here
-# because the port alternative is anchored at the end
-PORT_RE = r"^(?P<host>.*?)(?::(?P<port>\d+))?$"
+# authority → [userinfo@]host[:port]; the greedy userinfo group takes
+# everything up to the LAST '@' (hosts cannot contain '@'), and the
+# port alternative is anchored at the end
+PORT_RE = r"^(?:(?P<user>.*)@)?(?P<host>[^@]*?)(?::(?P<port>\d+))?$"
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -80,19 +83,20 @@ def canonicalize_urls(url: pa.Array | pa.ChunkedArray
         url = url.combine_chunks()
     m = pc.extract_regex(url, URL_RE)
     ok = pc.is_valid(m)
-    scheme = pc.utf8_lower(pc.struct_field(m, 0))
-    auth = pc.struct_field(m, 1)
-    path = pc.struct_field(m, 2)
-    query = pc.struct_field(m, 3)  # null when no '?'
+    scheme = pc.utf8_lower(pc.struct_field(m, "scheme"))
+    auth = pc.struct_field(m, "auth")
+    path = pc.struct_field(m, "path")
+    # non-participating RE2 groups surface as "" (not null) from
+    # Arrow's extract_regex — "no '?'" and "empty query" are the same
+    query = pc.struct_field(m, "query")
     hp = pc.extract_regex(auth, PORT_RE)
-    host = pc.utf8_lower(pc.struct_field(hp, 0))
-    port = pc.struct_field(hp, 1)  # null when no port
+    user = pc.struct_field(hp, "user")  # case-preserved, "" if absent
+    host = pc.utf8_lower(pc.struct_field(hp, "host"))
+    port = pc.struct_field(hp, "port")  # "" when no port
     default_port = pc.case_when(
         pc.make_struct(pc.equal(scheme, "http"),
                        pc.equal(scheme, "https")),
         "80", "443", pa.scalar(None, pa.string()))
-    # non-participating RE2 groups surface as "" (not null) from
-    # Arrow's extract_regex — an empty port means "no port"
     keep_port = pc.and_kleene(
         pc.and_kleene(pc.is_valid(port),
                       pc.not_equal(pc.fill_null(port, ""), "")),
@@ -101,14 +105,19 @@ def canonicalize_urls(url: pa.Array | pa.ChunkedArray
         pc.fill_null(keep_port, False),
         pc.binary_join_element_wise(host, pc.fill_null(port, ""), ":"),
         host)
+    # userinfo rides through case-preserved (it is case-sensitive);
+    # an empty userinfo ("http://@h/") is dropped
+    userpart = pc.if_else(
+        pc.not_equal(pc.fill_null(user, ""), ""),
+        pc.binary_join_element_wise(pc.fill_null(user, ""), "@", ""),
+        "")
     q_sorted = _sort_join_params(query)
     q_part = pc.if_else(
         pc.and_kleene(pc.is_valid(q_sorted), pc.not_equal(q_sorted, "")),
-        pc.binary_join_element_wise(
-            pa.array(["?"] * len(url)), pc.fill_null(q_sorted, ""), ""),
+        pc.binary_join_element_wise("?", pc.fill_null(q_sorted, ""), ""),
         "")
     canon = pc.binary_join_element_wise(
-        scheme, pa.array(["://"] * len(url)), hostport, path, q_part, "")
+        scheme, "://", userpart, hostport, path, q_part, "")
     return (pc.if_else(ok, canon, url),
             pc.if_else(ok, host, pa.scalar(None, pa.string())))
 
