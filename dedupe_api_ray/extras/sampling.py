@@ -57,6 +57,10 @@ def bernoulli_sample(ds: ray.data.Dataset, *, id_col: str,
                      fraction: float, seed: int = 0) -> ray.data.Dataset:
     """Keep each row independently iff its id-hash falls under the
     fraction cutoff — deterministic, shuffle-free, ~fraction of rows."""
+    if fraction >= 1.0:
+        fraction_threshold(fraction)  # still validates the range
+        return ds  # identity: the clamped cutoff would drop a row
+        # whose hash is exactly 2^64-1
     thr = np.uint64(fraction_threshold(fraction))
 
     def keep(t: pa.Table) -> pa.Table:

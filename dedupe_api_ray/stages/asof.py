@@ -58,9 +58,14 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
         try:
             fields.append(pa.field(n, pa.from_numpy_dtype(np.dtype(t))))
         except (TypeError, pa.ArrowNotImplementedError):
-            # pandas-block datasets surface object dtype for strings;
-            # parquet-sourced datasets never take this branch
-            fields.append(pa.field(n, pa.string()))
+            # pandas extension dtypes (nullable Int64/Int32/boolean)
+            # carry their storage dtype; bare object dtype means
+            # strings in pandas-block datasets.  Parquet-sourced
+            # datasets never reach this branch.
+            nd = getattr(t, "numpy_dtype", None)
+            fields.append(pa.field(
+                n, pa.from_numpy_dtype(nd) if nd is not None
+                else pa.string()))
     return pa.schema(fields)
 
 
@@ -70,13 +75,42 @@ def _key_partition(vals: np.ndarray, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
+def _tag_partition(t: pa.Table, side: int, key_col: str,
+                   n_parts: int) -> pa.Table:
+    """Append __part/__side for the union-then-shuffle join family.
+    Hashes the table's OWN key column — after any cast to the left
+    key type — because ``pd.util.hash_array`` is dtype- and
+    unit-sensitive (int32 -1 and int64 -1 hash differently): hashing
+    raw right-side values would scatter equal keys across partitions
+    and silently drop matches.  Integer/temporal keys are normalized
+    to null-filled int64 first: a single null in the column would
+    otherwise float the WHOLE numpy conversion and change every
+    non-null key's hash (null keys themselves never match, so the
+    partition a null row lands in is immaterial)."""
+    col = t[key_col]
+    typ = col.type
+    if pa.types.is_integer(typ) or pa.types.is_temporal(typ):
+        keys = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+    elif pa.types.is_floating(typ):
+        keys = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    else:
+        keys = col.to_numpy(zero_copy_only=False)
+    part = _key_partition(keys, n_parts)
+    return t.append_column("__part", pa.array(part, pa.int64())) \
+        .append_column("__side", pa.array(
+            np.full(t.num_rows, side, dtype=np.int8), pa.int8()))
+
+
 def _sort_key_ints(col: pa.ChunkedArray) -> np.ndarray:
     """Column → int64 codes that order identically to the values.
-    Key and ts columns are null-free by construction (both sides
-    supply them), so factorize/cast is exact."""
+    Datetimes stay in their NATIVE unit (both sides were cast to the
+    left type at tag time, so units agree; converting to us would
+    truncate distinct ns timestamps onto one code and make a
+    strictly-later right row look simultaneous)."""
     vals = col.to_numpy(zero_copy_only=False)
     if np.issubdtype(vals.dtype, np.datetime64):
-        return vals.astype("datetime64[us]").astype(np.int64)
+        return vals.astype(np.int64)  # raw ticks, no unit conversion
     if np.issubdtype(vals.dtype, np.integer):
         return vals.astype(np.int64, copy=False)
     codes, _ = pd.factorize(vals, sort=True)
@@ -159,20 +193,18 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
     union_types = {**left_types,
                    **{out_names[c]: right_types[c] for c in carry}}
 
-    def _finish(t: pa.Table, side: int, keys: np.ndarray) -> pa.Table:
-        part = _key_partition(keys, n_parts)
-        return t.append_column("__part", pa.array(part, pa.int64())) \
-            .append_column("__side", pa.array(
-                np.full(t.num_rows, side, dtype=np.int8), pa.int8()))
-
     def tag_left(t: pa.Table) -> pa.Table:
         arrs = [t[c] for c in left_cols] + \
             [pa.nulls(t.num_rows, union_types[out_names[c]])
              for c in carry]
         u = pa.table(dict(zip(union_names, arrs)))
-        return _finish(u, 1, t[left_on].to_numpy(zero_copy_only=False))
+        return _tag_partition(u, 1, left_on, n_parts)
 
     def tag_right(t: pa.Table) -> pa.Table:
+        # SQL semantics: a right row with a null key or null ts can
+        # never match (key = key / ts <= ts are never true on NULL)
+        t = t.filter(pc.and_(pc.is_valid(t[right_on]),
+                             pc.is_valid(t[right_ts])))
         arrs = []
         for c in left_cols:
             if c == left_on:
@@ -183,7 +215,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                 arrs.append(pa.nulls(t.num_rows, left_types[c]))
         arrs += [t[c] for c in carry]
         u = pa.table(dict(zip(union_names, arrs)))
-        return _finish(u, 0, t[right_on].to_numpy(zero_copy_only=False))
+        return _tag_partition(u, 0, left_on, n_parts)
 
     unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))

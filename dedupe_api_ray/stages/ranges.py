@@ -35,14 +35,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from dedupe_api_ray.stages.asof import _arrow_schema, _key_partition
+from dedupe_api_ray.stages.asof import _arrow_schema, _tag_partition
 
 _END = "__iv_end"
 
 
 def _col_i64(col: pa.ChunkedArray) -> np.ndarray:
-    """Timestamp/integer column → exact int64 (nulls → 0; callers
-    only read positions that are null-free by construction)."""
+    """Timestamp/integer column → exact int64 in the native unit.
+    Nulls → 0, which is safe ONLY because the tag functions filter
+    null key/ts/start/end rows up front (SQL: a NULL operand in
+    ``ts BETWEEN start AND end`` never matches); the one remaining
+    null source is the _END slot of left rows, never read."""
     return pc.fill_null(pc.cast(col, pa.int64()), 0) \
         .to_numpy(zero_copy_only=False)
 
@@ -131,20 +134,20 @@ def interval_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
                    **{out_names[c]: right_types[c] for c in right_cols},
                    _END: ts_type}
 
-    def _finish(t: pa.Table, side: int, keys: np.ndarray) -> pa.Table:
-        part = _key_partition(keys, n_parts)
-        return t.append_column("__part", pa.array(part, pa.int64())) \
-            .append_column("__side", pa.array(
-                np.full(t.num_rows, side, dtype=np.int8), pa.int8()))
-
     def tag_left(t: pa.Table) -> pa.Table:
+        # inner join: a null key or null ts can never match — drop now
+        t = t.filter(pc.and_(pc.is_valid(t[left_on]),
+                             pc.is_valid(t[left_ts])))
         arrs = [t[c] for c in left_cols] + \
             [pa.nulls(t.num_rows, union_types[out_names[c]])
              for c in right_cols] + [pa.nulls(t.num_rows, ts_type)]
         u = pa.table(dict(zip(union_names, arrs)))
-        return _finish(u, 1, t[left_on].to_numpy(zero_copy_only=False))
+        return _tag_partition(u, 1, left_on, n_parts)
 
     def tag_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(
+            pc.and_(pc.is_valid(t[right_on]), pc.is_valid(t[right_start])),
+            pc.is_valid(t[right_end])))
         arrs = []
         for c in left_cols:
             if c == left_on:
@@ -157,7 +160,7 @@ def interval_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
         arrs += [t[c] for c in right_cols]
         arrs.append(pc.cast(t[right_end], ts_type))
         u = pa.table(dict(zip(union_names, arrs)))
-        return _finish(u, 0, t[right_on].to_numpy(zero_copy_only=False))
+        return _tag_partition(u, 0, left_on, n_parts)
 
     unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from dedupe_api_ray.stages.asof import _arrow_schema, _key_partition
+from dedupe_api_ray.stages.asof import _arrow_schema, _tag_partition
 
 
 def _membership_partition(g: pa.Table, key: str, left_cols: list[str],
@@ -46,8 +46,8 @@ def _membership_partition(g: pa.Table, key: str, left_cols: list[str],
         present[right_codes] = True
     lc = codes[lidx]
     hit = present[np.where(lc >= 0, lc, n_codes)] & valid[lidx]
-    keep = lidx[~hit if anti else hit]
-    tk = pa.array(np.sort(keep), pa.int64())
+    keep = lidx[~hit if anti else hit]  # already ascending
+    tk = pa.array(keep, pa.int64())
     return pa.table({c: g[c].take(tk) for c in left_cols})
 
 
@@ -64,15 +64,8 @@ def _exists_join(left: ray.data.Dataset, right: ray.data.Dataset,
     if right_on not in right_schema.names:
         raise ValueError(f"right side lacks column {right_on!r}")
 
-    def _finish(t: pa.Table, side: int) -> pa.Table:
-        keys = t[left_on].to_numpy(zero_copy_only=False)
-        part = _key_partition(keys, n_parts)
-        return t.append_column("__part", pa.array(part, pa.int64())) \
-            .append_column("__side", pa.array(
-                np.full(t.num_rows, side, dtype=np.int8), pa.int8()))
-
     def tag_left(t: pa.Table) -> pa.Table:
-        return _finish(t.select(left_cols), 1)
+        return _tag_partition(t.select(left_cols), 1, left_on, n_parts)
 
     def tag_right(t: pa.Table) -> pa.Table:
         # combiner: existence needs each key once per block, and null
@@ -82,7 +75,8 @@ def _exists_join(left: ray.data.Dataset, right: ray.data.Dataset,
         arrs = [keys if c == left_on else pa.nulls(len(keys),
                                                    left_types[c])
                 for c in left_cols]
-        return _finish(pa.table(dict(zip(left_cols, arrs))), 0)
+        return _tag_partition(pa.table(dict(zip(left_cols, arrs))), 0,
+                              left_on, n_parts)
 
     unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow"))

@@ -131,6 +131,45 @@ def test_asof_distinct_side_names(ray_session):
     assert p == [9.5, None]
 
 
+def test_asof_dtype_mismatch_and_nulls(ray_session):
+    # arrow-typed inputs (the parquet shape): int32 right key + null
+    # keys/ts on both sides — dtype-blind partition hashing or
+    # null-matching would corrupt all of these
+    import pyarrow as pa
+    import ray.data
+
+    left = pa.table({"k": pa.array([-1, -1, None, 5], pa.int64()),
+                     "ts": pa.array([10, 0, 10, 10], pa.int64()),
+                     "lid": pa.array([0, 1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([-1, None, 5, 5], pa.int32()),
+                      "ts": pa.array([3, 1, None, 2], pa.int64()),
+                      "rid": pa.array([10, 11, 12, 13], pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_on="k", left_ts="ts", right_cols=["rid"],
+                    right_tiebreak="rid", num_partitions=6) \
+        .to_pandas().sort_values("lid")
+    got = [None if pd.isna(x) else int(x) for x in out["rid_asof"]]
+    # lid0: k=-1 matches int32 -1 row (ts 3<=10) → 10
+    # lid1: ts 0 before everything → null
+    # lid2: null key never matches (even the null-key right row)
+    # lid3: k=5 rows are null-ts (dropped) except ts=2 → 13
+    assert got == [10, None, None, 13]
+
+
+def test_asof_ns_resolution_not_truncated(ray_session):
+    # right row 800ns AFTER the left ts, same microsecond: us
+    # truncation would wrongly match it
+    base = pd.Timestamp("2020-01-01 00:00:00.000000100")
+    left = pd.DataFrame({"k": [1], "ts": [base], "lid": [0]})
+    right = pd.DataFrame({"k": [1, 1],
+                          "ts": [base + pd.Timedelta(800, "ns"),
+                                 base - pd.Timedelta(50, "ns")],
+                          "rid": [99, 42]})
+    out = _run(left, right, left_on="k", left_ts="ts",
+               right_cols=["rid"], right_tiebreak="rid")
+    assert out["rid_asof"].tolist() == [42]
+
+
 def test_asof_validation_errors(ray_session):
     left = pd.DataFrame({"k": [1], "ts": [1], "v_asof": [2]})
     right = pd.DataFrame({"k": [1], "ts": [1], "v": [3]})

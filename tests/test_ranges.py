@@ -92,6 +92,30 @@ def test_interval_empty_right_and_degenerate(ray_session):
     assert sorted(zip(out2["lid"], out2["rid_iv"])) == [(0, 8)]
 
 
+def test_interval_dtype_mismatch_and_nulls(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    # arrow-typed inputs (the parquet shape): true nulls, int32 right
+    # key vs int64 left key — dtype-blind partition hashing or
+    # null-matching would corrupt this
+    left = pa.table({"k": pa.array([-3, -3, None, 1], pa.int64()),
+                     "ts": pa.array([5, None, 5, 0], pa.int64()),
+                     "lid": pa.array([0, 1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([-3, None, 1, 1], pa.int32()),
+                      "s": pa.array([0, 0, None, -2], pa.int64()),
+                      "e": pa.array([9, 9, 9, None], pa.int64()),
+                      "rid": pa.array([10, 11, 12, 13], pa.int64())})
+    out = interval_join(ray.data.from_arrow(left),
+                        ray.data.from_arrow(right),
+                        left_on="k", left_ts="ts", right_start="s",
+                        right_end="e", right_cols=["rid"],
+                        num_partitions=5).to_pandas()
+    # only lid0 matches: int32 key -3 interval [0,9] contains ts 5;
+    # null ts/key left rows and null key/start/end intervals drop
+    assert sorted(zip(out["lid"], out["rid_iv"])) == [(0, 10)]
+
+
 def test_interval_validation_errors(ray_session):
     import ray.data
 

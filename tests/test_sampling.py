@@ -81,6 +81,15 @@ def test_stratified_small_groups_pass_through(ray_session):
     assert sorted(out.columns) == sorted(df.columns)  # helper col dropped
 
 
+def test_bernoulli_fraction_one_is_identity(ray_session):
+    import ray.data
+
+    df = _docs(50)
+    out = bernoulli_sample(ray.data.from_pandas(df), id_col="doc_id",
+                           fraction=1.0).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(df["doc_id"])
+
+
 def test_sampling_validation(ray_session):
     import ray.data
 
