@@ -555,11 +555,17 @@ def _q_grouped_topk(sf_dir: str):
 
 
 def _q_threshold_filter_sort(sf_dir: str):
+    """Threshold filter + exact top-100 via stages.topk.global_topk
+    (per-block prune, then sort only the pruned remnant — no
+    full-corpus sort shuffle)."""
+    from dedupe_api_ray.stages.topk import global_topk
+
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
     filt = ev.map_batches(
         lambda t: t.filter(pc.greater_equal(t["value"], 150.0)),
         batch_format="pyarrow")
-    return filt.sort(["value", "event_id"], descending=[True, False]).limit(100)
+    return global_topk(filt, ["value", "event_id"], 100,
+                       descending=[True, False])
 
 
 def _q_events_tumbling(sf_dir: str):
