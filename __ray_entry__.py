@@ -688,6 +688,67 @@ def _q_customer_anti_orders(sf_dir: str):
                      right_on="o_custkey")
 
 
+def _q_orders_window(sf_dir: str):
+    """Per-customer window functions over orders ordered by
+    (o_orderdate, o_orderkey): row_number, running price total (exact
+    int64 cents — price is converted to cents BEFORE the cumsum so
+    engine and SQL sum the same integers), and lag(o_orderkey).
+    Oracle: the literal SQL window clause."""
+    from dedupe_api_ray.stages.windows import window_over
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(_r(pc.multiply(t["o_totalprice"], 100.0), 0),
+                    pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "cents": c})
+
+    out = window_over(orders.map_batches(cents, batch_format="pyarrow"),
+                      partition_by="o_custkey",
+                      order_by=["o_orderdate", "o_orderkey"],
+                      row_number="rn",
+                      lag={"prev_orderkey": "o_orderkey"},
+                      cumsum={"run_cents": "cents"})
+    return out.select_columns(["o_orderkey", "o_custkey", "rn",
+                               "run_cents", "prev_orderkey"])
+
+
+def _q_lineitem_quantiles(sf_dir: str):
+    """Exact order-statistic quantiles of l_extendedprice (rank
+    ceil(q*N), nulls excluded) via the selection-not-sort histogram
+    stage — two streaming passes, no sort shuffle.  Both sides compute
+    the rank with the SAME IEEE double multiply (the oracle casts q to
+    DOUBLE; DuckDB's bare numeric literals are DECIMAL and would round
+    q*N differently when it lands near an integer)."""
+    from dedupe_api_ray.stages.quantiles import exact_quantiles
+    from dedupe_api_ray.utils import round_half_away
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    out = exact_quantiles(li, "l_extendedprice",
+                          [0.01, 0.25, 0.5, 0.75, 0.99])
+    cents = round_half_away(
+        out["value"].to_numpy(zero_copy_only=False) * 100.0, 0)
+    return pa.table({"q": out["q"],
+                     "value_cents": pa.array(cents.astype(np.int64),
+                                             pa.int64())})
+
+
+def _q_supplier_distinct_parts(sf_dir: str):
+    """Per supplier: lineitem count + exact COUNT(DISTINCT l_partkey),
+    one key-partitioned shuffle with map-side pair combining."""
+    from dedupe_api_ray.stages.distinct import grouped_distinct_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+    return grouped_distinct_count(li, key="l_suppkey", col="l_partkey",
+                                  n_rows="n_lineitems",
+                                  n_distinct="n_parts")
+
+
 def _q_q1_lineitem(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -1364,6 +1425,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": _q_q1_lineitem,
         "orders_customer_join": _q_orders_customer_join,
         "customer_semi_orders": _q_customer_semi_orders,
+        "orders_window": _q_orders_window,
+        "lineitem_price_quantiles": _q_lineitem_quantiles,
+        "supplier_distinct_parts": _q_supplier_distinct_parts,
         "customer_anti_orders": _q_customer_anti_orders,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
         "cc_components": _q_cc_components,
@@ -1910,6 +1974,33 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_rev_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "supplier_distinct_parts": """
+            SELECT l_suppkey, count(*) AS n_lineitems,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_suppkey""",
+        "lineitem_price_quantiles": """
+            WITH r AS (
+              SELECT l_extendedprice AS v,
+                     row_number() OVER (ORDER BY l_extendedprice) AS rn
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), n AS (SELECT count(*) AS c FROM r),
+            qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q)
+            SELECT cast(q AS DOUBLE) AS q,
+                   cast(round(v * 100, 0) AS BIGINT) AS value_cents
+            FROM qs, n JOIN r
+              ON rn = cast(ceil(cast(q AS DOUBLE) * c) AS BIGINT)""",
+        "orders_window": """
+            SELECT o_orderkey, o_custkey,
+                   cast(row_number() OVER w AS BIGINT) AS rn,
+                   cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS run_cents,
+                   lag(o_orderkey) OVER w AS prev_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)""",
         "customer_semi_orders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o

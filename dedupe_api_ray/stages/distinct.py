@@ -1,0 +1,80 @@
+"""Grouped exact distinct count — ``COUNT(*)`` + ``COUNT(DISTINCT
+col)`` per key in one shuffle, with map-side combining.
+
+Ray Data's built-in aggregates have no distinct-count; the naive
+two-step (``groupby([key, col]).count()`` then ``groupby(key)``)
+shuffles twice and moves one row per surviving pair both times.  This
+stage instead:
+
+1. combines per batch with ONE Arrow ``group_by([key, col])`` — the
+   shuffle moves one (key, col, n) partial per distinct pair per
+   block, so heavily repeated pairs (the common case in logs) collapse
+   map-side;
+2. hash-partitions by KEY ONLY (``_tag_partition``, deterministic
+   across processes), so one kernel resolves both aggregates: a single
+   ``np.lexsort`` over (key, col) codes, pair/key boundary flags, and
+   two ``np.add.reduceat`` calls.  No per-key Python.
+
+SQL semantics: ``n_rows`` counts every input row (null col included);
+``n_distinct`` ignores null col values, per ``COUNT(DISTINCT ...)``.
+Skew note: one key's DISTINCT pairs must fit in a partition — the
+same assumption as the join family; raw duplicate volume is already
+collapsed map-side and cannot skew the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dedupe_api_ray.stages.asof import _sort_key_ints, _tag_partition
+
+
+def _distinct_partition(g: pa.Table, key: str, col: str,
+                        n_rows: str, n_distinct: str) -> pa.Table:
+    n = g.num_rows
+    kc = _sort_key_ints(g[key])
+    cv = g[col].to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(cv, sort=False)  # nulls → -1
+    cnt = g["__n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((codes, kc))
+    ks, cs, ns = kc[order], codes[order], cnt[order]
+    key_head = np.r_[True, ks[1:] != ks[:-1]] if n else np.zeros(0, bool)
+    pair_head = (np.r_[True, (ks[1:] != ks[:-1]) | (cs[1:] != cs[:-1])]
+                 if n else np.zeros(0, bool))
+    starts = np.flatnonzero(key_head)
+    rows = np.add.reduceat(ns, starts) if n else np.zeros(0, np.int64)
+    dv = (pair_head & (cs >= 0)).astype(np.int64)
+    dist = np.add.reduceat(dv, starts) if n else np.zeros(0, np.int64)
+    take = pa.array(order[starts], pa.int64())
+    return pa.table({key: g[key].take(take),
+                     n_rows: pa.array(rows.astype(np.int64), pa.int64()),
+                     n_distinct: pa.array(dist, pa.int64())})
+
+
+def grouped_distinct_count(ds: ray.data.Dataset, *, key: str, col: str,
+                           n_rows: str = "n_rows",
+                           n_distinct: str = "n_distinct",
+                           num_partitions: int | None = None
+                           ) -> ray.data.Dataset:
+    """Per key: total row count and exact distinct count of ``col``
+    (nulls excluded from the distinct, counted in the total)."""
+    from dedupe_api_ray.utils import shuffle_partitions
+    n_parts = shuffle_partitions(num_partitions)
+
+    def combine(t: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        g = pa.table({key: t[key], col: t[col], "__n": ones}) \
+            .group_by([key, col]).aggregate([("__n", "sum")])
+        out = pa.table({key: g[key], col: g[col], "__n": g["__n_sum"]})
+        return _tag_partition(out, 0, key, n_parts)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        return _distinct_partition(g, key, col, n_rows, n_distinct)
+
+    return ds.map_batches(combine, batch_format="pyarrow") \
+        .groupby("__part", num_partitions=n_parts) \
+        .map_groups(kernel, batch_format="pyarrow")

@@ -1,0 +1,179 @@
+"""Exact distributed quantiles (order statistics) without a sort
+shuffle.
+
+``exact_quantiles(ds, col, qs)`` returns, for each q, the rank
+``k = ceil(q * N)`` order statistic (1-based, nulls excluded) — the
+unambiguous discrete quantile an oracle can replay with
+``row_number() OVER (ORDER BY col)``.
+
+Scale shape (selection, not sorting): values map through an
+ORDER-PRESERVING bijection into uint64 key space (IEEE-754 sign-flip
+trick for floats, sign-bit XOR for ints), then
+
+1. one ``map_batches`` pass builds per-batch partial histograms over
+   the top 16 key bits (<= 65,536 buckets), merged by a tiny groupby —
+   the driver sees at most 65,536 count rows, never data rows;
+2. the driver walks the cumulative counts to locate each target
+   rank's bucket and residual rank;
+3. if the candidate buckets still hold more than ``collect_cap`` rows,
+   the histogram pass repeats over the NEXT 16 bits restricted to
+   those buckets (each pass narrows candidates ~65,536x; after the
+   fourth level the bucket IS the exact key, so the value is known
+   without collecting anything);
+4. one final filtered pass collects only candidate-bucket values
+   (count known in advance from the histogram, bounded by
+   ``collect_cap``) and picks each residual rank driver-side.
+
+Typical cost: two streaming passes over the column (histogram +
+collect) regardless of N — vs a full all-to-all shuffle for
+``ds.sort``.  Heavily duplicated values cannot blow up the collect:
+a bucket of one repeated key resolves arithmetically at level 0.
+
+NaN values raise loudly (their IEEE ordering is not SQL-portable);
+nulls are excluded from ranks, matching SQL aggregate semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_MSB = np.uint64(1 << 63)
+
+
+def _to_keys(vals: np.ndarray) -> np.ndarray:
+    """Order-preserving map into uint64 (ascending value ⇒ ascending
+    key)."""
+    if np.issubdtype(vals.dtype, np.floating):
+        f = np.ascontiguousarray(vals, dtype=np.float64)
+        if np.isnan(f).any():
+            raise ValueError("exact_quantiles: NaN values present — "
+                             "filter them upstream (NaN has no portable "
+                             "sort position)")
+        b = f.view(np.uint64)
+        neg = (b & _MSB) != 0
+        return np.where(neg, ~b, b | _MSB)
+    if np.issubdtype(vals.dtype, np.integer):
+        return vals.astype(np.int64).view(np.uint64) ^ _MSB
+    raise TypeError(f"exact_quantiles: unsupported dtype {vals.dtype}")
+
+
+def _from_key(key: int, floating: bool) -> float | int:
+    k = np.uint64(key)
+    if floating:
+        b = (k ^ _MSB) if (k & _MSB) else ~k
+        return float(np.array([b], np.uint64).view(np.float64)[0])
+    return int(np.array([k ^ _MSB], np.uint64).view(np.int64)[0])
+
+
+def _column_keys(t: pa.Table, col: str) -> np.ndarray:
+    vals = pc.drop_null(t[col]).to_numpy(zero_copy_only=False)
+    return _to_keys(vals) if len(vals) else np.zeros(0, np.uint64)
+
+
+def _hist_pass(ds: ray.data.Dataset, col: str, shift: int,
+               prefixes: np.ndarray | None,
+               n_parts: int) -> dict[int, int]:
+    """Merged histogram {bucket: count} over key >> shift, restricted
+    to rows whose key >> (shift+16) is in ``prefixes`` (sorted)."""
+    def partial(t: pa.Table) -> pa.Table:
+        k = _column_keys(t, col)
+        if prefixes is not None and len(k):
+            p = k >> np.uint64(shift + 16)
+            pos = np.searchsorted(prefixes, p)
+            pos = np.minimum(pos, len(prefixes) - 1)
+            k = k[prefixes[pos] == p]
+        b = k >> np.uint64(shift)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.uint64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket", num_partitions=min(n_parts, 8)) \
+        .sum("n")
+    out: dict[int, int] = {}
+    # bounded: <= 65,536 buckets per surviving prefix
+    for t in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for b, n in zip(t["bucket"].to_pylist(), t["sum(n)"].to_pylist()):
+            out[int(b)] = int(n)
+    return out
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
+                    collect_cap: int = 5_000_000,
+                    num_partitions: int | None = None) -> pa.Table:
+    """Small driver-side result table ``(q, value)`` — the exact
+    rank-``ceil(q*N)`` order statistics of ``col`` (nulls excluded).
+    Requires 0 < q <= 1."""
+    from dedupe_api_ray.utils import shuffle_partitions
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("exact_quantiles: each q must be in (0, 1]")
+    n_parts = shuffle_partitions(num_partitions)
+    schema_type = dict(zip(ds.schema().names, ds.schema().types))[col]
+    floating = pa.types.is_floating(schema_type)
+    val_type = pa.float64() if floating else pa.int64()
+
+    hist = _hist_pass(ds, col, 48, None, n_parts)
+    total = sum(hist.values())
+    if total == 0:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "value": pa.nulls(len(qs), val_type)})
+    # rank and current bucket per target, refined level by level
+    targets = [{"q": q, "rank": int(np.ceil(q * total))} for q in qs]
+    shift = 48
+    while True:
+        buckets = np.array(sorted(hist), dtype=np.uint64)
+        counts = np.array([hist[int(b)] for b in buckets], dtype=np.int64)
+        if shift == 48:
+            cum = np.cumsum(counts)
+            for tg in targets:
+                i = int(np.searchsorted(cum, tg["rank"]))
+                tg["bucket"] = int(buckets[i])
+                tg["rank"] -= int(cum[i - 1]) if i else 0
+        else:
+            parents = buckets >> np.uint64(16)
+            for tg in targets:
+                sel = np.flatnonzero(parents == np.uint64(tg["bucket"]))
+                cum = np.cumsum(counts[sel])
+                i = int(np.searchsorted(cum, tg["rank"]))
+                tg["bucket"] = int(buckets[sel[i]])
+                tg["rank"] -= int(cum[i - 1]) if i else 0
+        need = sorted({tg["bucket"] for tg in targets})
+        pending = sum(hist[b] for b in need)
+        if shift == 0 or pending <= collect_cap:
+            break
+        shift -= 16
+        hist = _hist_pass(ds, col, shift,
+                          np.array(need, dtype=np.uint64), n_parts)
+
+    if shift == 0 and pending > collect_cap:
+        # each candidate bucket is ONE exact key — no collection needed
+        values = [_from_key(tg["bucket"], floating) for tg in targets]
+    else:
+        need_arr = np.array(need, dtype=np.uint64)
+
+        def keep(t: pa.Table) -> pa.Table:
+            k = _column_keys(t, col)
+            b = k >> np.uint64(shift)
+            pos = np.minimum(np.searchsorted(need_arr, b),
+                             len(need_arr) - 1)
+            k = k[need_arr[pos] == b]
+            return pa.table({"k": pa.array(k, pa.uint64())})
+
+        parts = [t["k"].to_numpy(zero_copy_only=False)
+                 for t in ds.map_batches(keep, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow",
+                               batch_size=1 << 20)]
+        keys = np.sort(np.concatenate(parts) if parts
+                       else np.zeros(0, np.uint64))
+        kb = keys >> np.uint64(shift)
+        values = []
+        for tg in targets:
+            seg = keys[kb == np.uint64(tg["bucket"])]
+            values.append(_from_key(int(seg[tg["rank"] - 1]), floating))
+
+    return pa.table({"q": pa.array([tg["q"] for tg in targets],
+                                   pa.float64()),
+                     "value": pa.array(values, val_type)})

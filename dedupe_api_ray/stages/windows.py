@@ -1,0 +1,131 @@
+"""Per-key window functions — ``row_number`` / ``lag`` / running sum
+over ``(PARTITION BY key ORDER BY cols)``, the SQL window family Ray
+Data has no native operator for.  The log-pipeline workhorses:
+per-user event sequencing, running totals, previous-row deltas.
+
+Scale shape: ONE hash shuffle by the partition key (the same
+deterministic ``pandas.util.hash_array`` tag as the as-of/interval/
+semi join family), then one vectorized kernel per partition — a
+single ``np.lexsort`` over (key, order columns) and pure segment
+arithmetic on top of it:
+
+- row_number  = arange − segment-head index + 1
+- running sum = cumsum − cumsum[head] + x[head]  (int64-exact when the
+  source column is integral — pre-convert money to cents upstream)
+- lag         = Arrow ``take`` of the previous sorted position,
+  nulled at segment heads via ``if_else`` (no Python shift loop)
+
+No per-key Python anywhere; one key's rows never split across
+partitions, so output is independent of block layout and parallelism
+(tested in ``tests/test_windows.py``).
+
+Null policy (checked loudly, not silently mis-sorted): the partition
+key and every order column must be non-null — SQL window ORDER BY
+has an implementation-defined null placement that a hash-partitioned
+engine cannot reproduce portably, so a null there raises instead of
+guessing.  ``lag``/``cumsum`` SOURCE columns may be anything Arrow
+``take`` carries (lag) / any non-null numeric (cumsum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dedupe_api_ray.stages.asof import (_arrow_schema, _sort_key_ints,
+                                        _tag_partition)
+
+
+def _window_partition(g: pa.Table, key: str, order_by: list[str],
+                      out_cols: list[str], row_number: str | None,
+                      lag: dict[str, str],
+                      cumsum: dict[str, str]) -> pa.Table:
+    n = g.num_rows
+    for c in (key, *order_by):
+        if g[c].null_count:
+            raise ValueError(
+                f"window_over: column {c!r} has nulls; partition/order "
+                "columns must be non-null (SQL null ordering is not "
+                "portable) — fill or filter upstream")
+    kc = _sort_key_ints(g[key])
+    ords = [_sort_key_ints(g[c]) for c in order_by]
+    # np.lexsort sorts by the LAST key first → key is primary, then
+    # order_by columns left-to-right
+    order = np.lexsort((*reversed(ords), kc))
+    ks = kc[order]
+    heads = np.r_[True, ks[1:] != ks[:-1]] if n else np.zeros(0, bool)
+    starts = np.flatnonzero(heads)
+    seg_len = np.diff(np.r_[starts, n])
+    base = np.repeat(starts, seg_len)  # segment-head index, per row
+    take = pa.array(order, pa.int64())
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        c: g[c].take(take) for c in out_cols}
+    if row_number is not None:
+        cols[row_number] = pa.array(np.arange(n) - base + 1, pa.int64())
+    for out, src in cumsum.items():
+        col = g[src]
+        if col.null_count:
+            raise ValueError(f"window_over: cumsum source {src!r} has "
+                             "nulls; fill upstream")
+        x = col.take(take).to_numpy(zero_copy_only=False)
+        if not np.issubdtype(x.dtype, np.number):
+            raise TypeError(f"window_over: cumsum source {src!r} is "
+                            f"not numeric ({x.dtype})")
+        c = np.cumsum(x)
+        run = c - c[base] + x[base] if n else c
+        cols[out] = pa.array(run)
+    for out, src in lag.items():
+        src_sorted = g[src].take(take)
+        prev = np.maximum(np.arange(n) - 1, 0)
+        taken = src_sorted.take(pa.array(prev, pa.int64()))
+        cols[out] = pc.if_else(pa.array(~heads), taken,
+                               pa.scalar(None, type=taken.type))
+    return pa.table(cols)
+
+
+def window_over(ds: ray.data.Dataset, *, partition_by: str,
+                order_by: list[str], row_number: str | None = None,
+                lag: dict[str, str] | None = None,
+                cumsum: dict[str, str] | None = None,
+                num_partitions: int | None = None) -> ray.data.Dataset:
+    """Append window columns computed over
+    ``PARTITION BY partition_by ORDER BY *order_by`` (ties beyond the
+    given order columns do not occur when the last order column is
+    unique — pass a unique id last for fully deterministic output).
+
+    ``row_number``: output column name for the 1-based rank.
+    ``lag``: {out_col: src_col} — previous row's value, null at heads.
+    ``cumsum``: {out_col: src_col} — inclusive running sum
+    (``ROWS UNBOUNDED PRECEDING``), exact for integer sources.
+    Output carries every input column plus the window columns.
+    """
+    from dedupe_api_ray.utils import shuffle_partitions
+    lag = dict(lag or {})
+    cumsum = dict(cumsum or {})
+    if row_number is None and not lag and not cumsum:
+        raise ValueError("window_over: nothing to compute")
+    n_parts = shuffle_partitions(num_partitions)
+    schema = _arrow_schema(ds)
+    out_cols = list(schema.names)
+    clash = [c for c in (*(() if row_number is None else (row_number,)),
+                         *lag, *cumsum) if c in out_cols]
+    if clash:
+        raise ValueError(f"window_over: output columns {clash} already "
+                         "exist on the input")
+    for src in (*lag.values(), *cumsum.values(), *order_by):
+        if src not in out_cols:
+            raise ValueError(f"window_over: no such column {src!r}")
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _tag_partition(t.select(out_cols), 0, partition_by,
+                              n_parts)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        return _window_partition(g, partition_by, order_by, out_cols,
+                                 row_number, lag, cumsum)
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__part", num_partitions=n_parts) \
+        .map_groups(kernel, batch_format="pyarrow")

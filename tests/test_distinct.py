@@ -1,0 +1,46 @@
+"""Grouped distinct count (stages/distinct.py): pandas parity, SQL
+null semantics, string columns, layout/parallelism invariance."""
+
+import numpy as np
+import pandas as pd
+
+from dedupe_api_ray.stages.distinct import grouped_distinct_count
+
+
+def test_distinct_count_matches_pandas(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 30, 2000),
+                       "v": rng.integers(0, 80, 2000)})
+    want = df.groupby("k").agg(n_rows=("v", "size"),
+                               n_distinct=("v", "nunique"))
+    prev = None
+    for blocks, parts in ((1, 4), (9, 13)):
+        ds = ray.data.from_pandas(
+            [d for _, d in df.groupby(df.index % blocks)]
+            if blocks > 1 else df)
+        got = grouped_distinct_count(ds, key="k", col="v",
+                                     num_partitions=parts).to_pandas() \
+            .set_index("k").sort_index()
+        np.testing.assert_array_equal(got["n_rows"], want["n_rows"])
+        np.testing.assert_array_equal(got["n_distinct"],
+                                      want["n_distinct"])
+        if prev is not None:
+            pd.testing.assert_frame_equal(got, prev)
+        prev = got
+
+
+def test_distinct_count_null_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    # k=1: rows [a, a, None, b] → n_rows 4 (null counted),
+    # n_distinct 2 (null excluded), per SQL COUNT semantics
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "v": pa.array(["a", "a", None, "b", None], pa.string())}))
+    got = grouped_distinct_count(ds, key="k", col="v").to_pandas() \
+        .set_index("k").sort_index()
+    assert list(got["n_rows"]) == [4, 1]
+    assert list(got["n_distinct"]) == [2, 0]

@@ -1,0 +1,79 @@
+"""Exact quantiles (stages/quantiles.py): order-statistic parity with
+a full sort, refinement levels under a tiny collect cap, duplicate
+saturation, ints vs floats, null exclusion, NaN guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedupe_api_ray.stages.quantiles import (_from_key, _to_keys,
+                                             exact_quantiles)
+
+
+def _want(vals, qs):
+    s = np.sort(np.asarray(vals))
+    return [s[int(np.ceil(q * len(s))) - 1] for q in qs]
+
+
+def test_key_transform_is_order_preserving():
+    rng = np.random.default_rng(1)
+    f = np.r_[rng.normal(0, 1e6, 500), -0.0, 0.0, 1e-300, -1e-300]
+    k = _to_keys(f)
+    np.testing.assert_array_equal(np.argsort(k, kind="stable"),
+                                  np.argsort(f, kind="stable"))
+    for v in (-3.5, 0.0, 7e9):
+        assert _from_key(int(_to_keys(np.array([v]))[0]), True) == v
+    i = rng.integers(-(1 << 62), 1 << 62, 500)
+    ki = _to_keys(i)
+    np.testing.assert_array_equal(np.argsort(ki, kind="stable"),
+                                  np.argsort(i, kind="stable"))
+    assert _from_key(int(_to_keys(np.array([-17], np.int64))[0]),
+                     False) == -17
+
+
+def test_quantiles_match_sort(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    vals = np.r_[rng.normal(100, 50, 4000),
+                 np.repeat(42.5, 800),          # heavy duplicate mass
+                 rng.uniform(-1e6, 1e6, 200)]
+    qs = [0.01, 0.1, 0.5, 0.9, 0.99, 1.0]
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"v": c}) for c in np.array_split(vals, 5)])
+    out = exact_quantiles(ds, "v", qs).to_pandas()
+    np.testing.assert_array_equal(out["value"].to_numpy(),
+                                  _want(vals, qs))
+
+
+def test_quantiles_refinement_and_int_path(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(-10_000, 10_000, 5000)
+    qs = [0.25, 0.5, 0.75]
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals}))
+    # collect_cap=1 forces refinement to shift 0, where a repeated key
+    # must resolve arithmetically without collecting
+    out = exact_quantiles(ds, "v", qs, collect_cap=1).to_pandas()
+    np.testing.assert_array_equal(out["value"].to_numpy(),
+                                  _want(vals, qs))
+    assert out["value"].dtype == np.int64
+
+
+def test_quantiles_nulls_and_guards(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"v": [5.0, None, 1.0, None, 3.0]})
+    out = exact_quantiles(ray.data.from_pandas(df), "v",
+                          [0.5, 1.0]).to_pandas()
+    assert list(out["value"]) == [3.0, 5.0]  # nulls excluded from rank
+    with pytest.raises(ValueError, match="must be in"):
+        exact_quantiles(ray.data.from_pandas(df), "v", [0.0])
+    # pandas NaN becomes Arrow null on conversion; a REAL NaN value
+    # needs an Arrow-native fixture
+    import pyarrow as pa
+    nan_ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array([1.0, float("nan"), 2.0], pa.float64())}))
+    with pytest.raises(Exception, match="NaN"):
+        exact_quantiles(nan_ds, "v", [0.5])

@@ -1,0 +1,89 @@
+"""Window functions (stages/windows.py): pandas parity, int
+exactness, lag null placement, layout/parallelism invariance, loud
+null/clash guards."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedupe_api_ray.stages.windows import window_over
+
+
+def _frame(n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "ts": rng.integers(0, 10_000, n).astype("datetime64[s]")
+        .astype("datetime64[us]"),
+        "uid": np.arange(n),
+        "x": rng.integers(-1000, 1000, n)})
+
+
+def _expected(df):
+    g = df.sort_values(["k", "ts", "uid"]).groupby("k", sort=False)
+    out = df.sort_values(["k", "ts", "uid"]).copy()
+    out["rn"] = g.cumcount() + 1
+    out["run_x"] = g["x"].cumsum()
+    out["prev_uid"] = g["uid"].shift(1)
+    return out.sort_values("uid").reset_index(drop=True)
+
+
+def test_window_matches_pandas_and_is_layout_invariant(ray_session):
+    import ray.data
+
+    df = _frame()
+    want = _expected(df)
+    prev = None
+    for blocks, parts in ((1, 4), (7, 11)):
+        ds = ray.data.from_pandas(
+            [d for _, d in df.groupby(df.index % blocks)]
+            if blocks > 1 else df)
+        got = window_over(ds, partition_by="k",
+                          order_by=["ts", "uid"], row_number="rn",
+                          lag={"prev_uid": "uid"},
+                          cumsum={"run_x": "x"},
+                          num_partitions=parts).to_pandas() \
+            .sort_values("uid").reset_index(drop=True)
+        for c in ("rn", "run_x"):
+            np.testing.assert_array_equal(got[c].to_numpy(),
+                                          want[c].to_numpy())
+        # lag: null exactly at each key's first row
+        pg = got["prev_uid"].to_numpy(dtype=float)
+        pw = want["prev_uid"].to_numpy(dtype=float)
+        np.testing.assert_array_equal(np.isnan(pg), np.isnan(pw))
+        np.testing.assert_array_equal(pg[~np.isnan(pg)],
+                                      pw[~np.isnan(pw)])
+        key = got[["rn", "run_x"]].to_numpy().tolist()
+        if prev is not None:
+            assert key == prev
+        prev = key
+
+
+def test_window_int64_cumsum_exact(ray_session):
+    import ray.data
+
+    # values near 2^53 would lose exactness in a float cumsum
+    base = np.int64(1) << np.int64(53)
+    df = pd.DataFrame({"k": [1, 1, 1], "o": [1, 2, 3],
+                       "x": [base, 1, 1]})
+    got = window_over(ray.data.from_pandas(df), partition_by="k",
+                      order_by=["o"], cumsum={"run": "x"}).to_pandas()
+    assert sorted(got["run"]) == [base, base + 1, base + 2]
+    assert got["run"].dtype == np.int64
+
+
+def test_window_guards(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"k": [1, None], "o": [1, 2], "x": [1, 2]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="non-null"):
+        window_over(ds, partition_by="k", order_by=["o"],
+                    row_number="rn").to_pandas()
+    ok = pd.DataFrame({"k": [1, 2], "o": [1, 2], "x": [1, 2]})
+    with pytest.raises(ValueError, match="already exist"):
+        window_over(ray.data.from_pandas(ok), partition_by="k",
+                    order_by=["o"], row_number="x")
+    with pytest.raises(ValueError, match="nothing to compute"):
+        window_over(ray.data.from_pandas(ok), partition_by="k",
+                    order_by=["o"])
