@@ -1132,6 +1132,19 @@ def _q_dup_ngram_stats(sf_dir: str):
                            concurrency=(1, 4))
 
 
+def _q_dup_span_removal(sf_dir: str):
+    """Exact-substring dedup REWRITE: remove every token covered by an
+    8-token shingle occurring in >= 2 docs (remove-all policy); the
+    oracle replays it with string shingles + a coverage join.  The
+    engine's 64-bit shingle hashes stand in for the strings (collision
+    odds ~n^2/2^64, the same documented equivalence dup_ngram_stats
+    uses)."""
+    from dedupe_api_ray.extras.ngram_dup import remove_dup_ngrams
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_dup_ngrams(docs, w=8, min_docs=2)
+
+
 def _q_cc_components(sf_dir: str):
     """G1 over an edge graph defined from the data: documents of the
     same source whose n_chars differ by <= 5 (chains across docs →
@@ -1396,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": _q_doc_sample_stratified,
         "pii_redact": _q_pii_redact,
         "dup_ngram_stats": _q_dup_ngram_stats,
+        "dup_span_removal": _q_dup_span_removal,
         "repetition_stats": _q_repetition_stats,
         # M5/G7 + near-dup family
         "exact_dedup": _q_exact_dedup,
@@ -2218,6 +2232,38 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                          * 1.0 / count(*), 6) AS dup_fraction
             FROM sh JOIN cnt USING (s)
             GROUP BY sh.doc_id""",
+        "dup_span_removal": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+            ), wins AS (
+              SELECT doc_id, i,
+                     array_to_string(list_slice(ts, i, i + 7), ' ') AS s
+              FROM toks, unnest(range(1, len(ts) - 6)) AS u(i)
+              WHERE len(ts) >= 8
+            ), dup AS (
+              SELECT s FROM wins GROUP BY s
+              HAVING count(DISTINCT doc_id) >= 2
+            ), cov AS (
+              SELECT DISTINCT w.doc_id, c.j
+              FROM wins w JOIN dup USING (s),
+                   unnest(range(w.i, w.i + 8)) AS c(j)
+            ), tokpos AS (
+              SELECT doc_id, j, ts[j] AS tok
+              FROM toks, unnest(range(1, len(ts) + 1)) AS u2(j)
+            ), kept AS (
+              SELECT tp.doc_id, tp.j, tp.tok FROM tokpos tp
+              LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.j = tp.j
+              WHERE c.j IS NULL
+            )
+            SELECT t.doc_id, len(t.ts) AS n_tokens,
+                   coalesce(r.n_rem, 0) AS n_removed,
+                   coalesce(k.txt, '') AS text_dedup
+            FROM toks t
+            LEFT JOIN (SELECT doc_id, count(*) AS n_rem FROM cov
+                       GROUP BY doc_id) r USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(tok, ' ' ORDER BY j) AS txt
+                       FROM kept GROUP BY doc_id) k USING (doc_id)""",
         "simhash_docs": f"""
             WITH toks AS (
               SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok

@@ -117,6 +117,54 @@ class ShingleEmitter:
                          "doc_id": pa.array(np.concatenate(dids))})
 
 
+class PositionalShingles(ShingleEmitter):
+    """Actor-pool stage: documents → one (doc_id, pos, h) row per
+    WINDOW (positional, not distinct) — the removal pass needs every
+    occurrence, because coverage is a union of [pos, pos+w) spans."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        w = self.w
+        hs: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
+        dids: list[np.ndarray] = []
+        ids = batch[self.id_col].to_pylist()
+        for did, text in zip(ids, batch[self.text_col].to_pylist()):
+            toks = TOKEN_RE.findall(text.lower()) if text else []
+            if len(toks) < w:
+                continue
+            u = self._tok_hashes(toks)
+            win = np.lib.stride_tricks.sliding_window_view(u, w)
+            with np.errstate(over="ignore"):
+                h = (win * self.pows).sum(axis=1, dtype=np.uint64)
+            h = (_avalanche(h) & _MASK63).astype(np.int64)
+            hs.append(h)
+            poss.append(np.arange(len(h), dtype=np.int64))
+            dids.append(np.full(len(h), did, dtype=np.int64))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs)),
+                         "pos": pa.array(np.concatenate(poss)),
+                         "doc_id": pa.array(np.concatenate(dids))})
+
+
+def _rebuild_doc(toks: list[str], dup_pos: np.ndarray,
+                 w: int) -> tuple[str, int]:
+    """Drop every token covered by a duplicated window ([pos, pos+w)
+    union, via a difference array — no per-window inner loop); returns
+    (rebuilt text, n_removed)."""
+    n = len(toks)
+    if n == 0 or len(dup_pos) == 0:
+        return " ".join(toks), 0
+    delta = np.zeros(n + w + 1, dtype=np.int64)
+    np.add.at(delta, dup_pos, 1)
+    np.add.at(delta, dup_pos + w, -1)
+    covered = np.cumsum(delta[:n]) > 0
+    kept = np.array(toks, dtype=object)[~covered]
+    return " ".join(kept.tolist()), int(covered.sum())
+
+
 def _doc_partials(flagged: pa.Table) -> pa.Table:
     """Within-batch combiner: (doc_id, is_dup) rows → one partial
     (doc_id, n_shingles, n_dup) row per doc in the batch."""
@@ -130,6 +178,32 @@ def _doc_partials(flagged: pa.Table) -> pa.Table:
                      "n_dup": pa.array(n_dup.astype(np.int64), pa.int64())})
 
 
+def _shingle_pairs(docs: ray.data.Dataset, text_col: str, id_col: str,
+                   w: int, concurrency) -> ray.data.Dataset:
+    """Materialized (h, doc_id) rows, one per DISTINCT shingle per
+    doc — shared by the stats and removal operators."""
+    from dedupe_api_ray.utils import actor_pool
+    if concurrency is None:
+        concurrency = actor_pool()
+    return docs.map_batches(
+        ShingleEmitter,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, w=w),
+        batch_format="pyarrow", concurrency=concurrency,
+        num_cpus=1).materialize()
+
+
+def _dup_set(pairs: ray.data.Dataset, min_docs: int) -> ray.data.Dataset:
+    """Materialized single-column (h) set of shingles present in
+    >= min_docs distinct documents."""
+    from dedupe_api_ray.utils import shuffle_partitions
+    counts = pairs.groupby(
+        "h", num_partitions=shuffle_partitions()).count()
+    return counts.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["count()"], min_docs)).select(["h"]),
+        batch_format="pyarrow").materialize()
+
+
 def dup_ngram_stats(docs: ray.data.Dataset, text_col: str = "text",
                     id_col: str = "doc_id", w: int = 8, min_docs: int = 2,
                     concurrency: int | tuple | None = None
@@ -138,22 +212,11 @@ def dup_ngram_stats(docs: ray.data.Dataset, text_col: str = "text",
     (doc_id, n_shingles, n_dup, dup_fraction), one row per document
     with at least one shingle (>= w tokens).  ``dup_fraction`` is
     rounded half-away-from-zero at 6 dp (matches SQL ROUND)."""
-    from dedupe_api_ray.utils import (actor_pool, default_num_partitions,
+    from dedupe_api_ray.utils import (default_num_partitions,
                                       round_half_away, should_broadcast,
                                       shuffle_partitions)
-    if concurrency is None:
-        concurrency = actor_pool()
-    pairs = docs.map_batches(
-        ShingleEmitter,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, w=w),
-        batch_format="pyarrow", concurrency=concurrency,
-        num_cpus=1).materialize()
-    counts = pairs.groupby(
-        "h", num_partitions=shuffle_partitions()).count()
-    dup_set = counts.map_batches(
-        lambda t: t.filter(
-            pc.greater_equal(t["count()"], min_docs)).select(["h"]),
-        batch_format="pyarrow").materialize()
+    pairs = _shingle_pairs(docs, text_col, id_col, w, concurrency)
+    dup_set = _dup_set(pairs, min_docs)
 
     if should_broadcast(dup_set):
         tbl = pa.concat_tables(list(dup_set.iter_batches(
@@ -208,3 +271,163 @@ def dup_ngram_stats(docs: ray.data.Dataset, text_col: str = "text",
                          "dup_fraction": pa.array(frac, pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+class DupSpanRemover(ShingleEmitter):
+    """Actor-pool removal stage (broadcast path): rewrite each doc
+    with every token covered by a duplicated w-shingle removed.  The
+    sorted duplicated-hash array ships ONCE per actor via ``ray.get``
+    of a ``ray.put`` ref in ``__init__``."""
+
+    def __init__(self, dup_ref, text_col: str = "text",
+                 id_col: str = "doc_id", w: int = 8):
+        super().__init__(text_col=text_col, id_col=id_col, w=w)
+        self.dup = ray.get(dup_ref)  # sorted int64 hashes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        w, d = self.w, self.dup
+        ids = batch[self.id_col].to_pylist()
+        n_tok = np.empty(len(ids), dtype=np.int64)
+        n_rem = np.empty(len(ids), dtype=np.int64)
+        texts: list[str] = []
+        for k, text in enumerate(batch[self.text_col].to_pylist()):
+            toks = TOKEN_RE.findall(text.lower()) if text else []
+            n_tok[k] = len(toks)
+            if len(toks) < w or len(d) == 0:
+                texts.append(" ".join(toks))
+                n_rem[k] = 0
+                continue
+            u = self._tok_hashes(toks)
+            win = np.lib.stride_tricks.sliding_window_view(u, w)
+            with np.errstate(over="ignore"):
+                h = (win * self.pows).sum(axis=1, dtype=np.uint64)
+            h = (_avalanche(h) & _MASK63).astype(np.int64)
+            pos = np.minimum(np.searchsorted(d, h), len(d) - 1)
+            dup_pos = np.flatnonzero(d[pos] == h)
+            rebuilt, nr = _rebuild_doc(toks, dup_pos, w)
+            texts.append(rebuilt)
+            n_rem[k] = nr
+        return pa.table({"doc_id": batch[self.id_col],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_removed": pa.array(n_rem, pa.int64()),
+                         "text_dedup": pa.array(texts, pa.string())})
+
+
+def _removal_partition(g: pa.Table, w: int) -> pa.Table:
+    """Shuffle-path kernel: one partition holds, per doc, its single
+    text row (side 1) plus its duplicated-window position rows
+    (side 0); rebuilds each doc in one pass."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "n_removed": pa.array([], pa.int64()),
+                      "text_dedup": pa.array([], pa.string())})
+    if g.num_rows == 0:
+        return empty
+    side = g["__side"].to_numpy(zero_copy_only=False)
+    doc = g["doc_id"].to_numpy(zero_copy_only=False)
+    pos = pc.fill_null(g["pos"], -1).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.lexsort((side, doc))
+    ds_, ss_, ps_ = doc[order], side[order], pos[order]
+    starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+    ends = np.r_[starts[1:], len(ds_)]
+    text_col = g["text"]
+    out_doc, out_nt, out_nr, out_tx = [], [], [], []
+    for s, e in zip(starts, ends):
+        seg_sides = ss_[s:e]
+        t_idx = np.flatnonzero(seg_sides == 1)
+        if len(t_idx) != 1:
+            raise RuntimeError(
+                "remove_dup_ngrams: expected exactly one text row per "
+                f"doc in partition, got {len(t_idx)} for doc {ds_[s]} "
+                "(duplicate doc ids in the input?)")
+        text = text_col[order[s + t_idx[0]]].as_py()
+        dup_pos = ps_[s:e][seg_sides == 0]
+        toks = TOKEN_RE.findall(text.lower()) if text else []
+        rebuilt, nr = _rebuild_doc(toks, dup_pos, w)
+        out_doc.append(int(ds_[s]))
+        out_nt.append(len(toks))
+        out_nr.append(nr)
+        out_tx.append(rebuilt)
+    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                     "n_tokens": pa.array(out_nt, pa.int64()),
+                     "n_removed": pa.array(out_nr, pa.int64()),
+                     "text_dedup": pa.array(out_tx, pa.string())})
+
+
+def remove_dup_ngrams(docs: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", w: int = 8,
+                      min_docs: int = 2,
+                      concurrency: int | tuple | None = None,
+                      num_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Exact-substring dedup REWRITE (Lee et al. 2022's removal step,
+    at w-token granularity): every token covered by a w-shingle that
+    occurs in >= ``min_docs`` distinct documents is removed from EVERY
+    document (the symmetric remove-all policy — deterministic and
+    order-free, unlike keep-first, which would depend on a global doc
+    order).  Output per doc: (doc_id, n_tokens, n_removed,
+    text_dedup), with text_dedup the kept tokens joined by single
+    spaces (tokenization is the engine-wide TOKEN_RE, lowercased).
+
+    Scale shape: dup-shingle set from the same map-combined groupby as
+    dup_ngram_stats; the attach is size-routed — small sets broadcast
+    into an actor pool (one rewrite pass over the corpus), large sets
+    hash-join positional window rows and regroup by doc (text ships
+    through ONE shuffle).  Both paths produce identical output
+    (equivalence-tested)."""
+    from dedupe_api_ray.utils import (actor_pool, default_num_partitions,
+                                      should_broadcast,
+                                      shuffle_partitions)
+    if concurrency is None:
+        concurrency = actor_pool()
+    pairs = _shingle_pairs(docs, text_col, id_col, w, concurrency)
+    dup_set = _dup_set(pairs, min_docs)
+
+    if should_broadcast(dup_set):
+        tbl = pa.concat_tables(list(dup_set.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))
+        dup_sorted = np.sort(tbl["h"].to_numpy(zero_copy_only=False)) \
+            if tbl.num_rows else np.zeros(0, dtype=np.int64)
+        dup_ref = ray.put(dup_sorted)
+        return docs.map_batches(
+            DupSpanRemover,
+            fn_constructor_kwargs=dict(dup_ref=dup_ref, text_col=text_col,
+                                       id_col=id_col, w=w),
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+    # scale path: inner-join positional windows against the dup set,
+    # then regroup (dup positions + the doc's text row) by doc id
+    n_parts = shuffle_partitions(num_partitions)
+    wins = docs.map_batches(
+        PositionalShingles,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, w=w),
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    dup_pos = wins.join(dup_set, join_type="inner",
+                        num_partitions=default_num_partitions(),
+                        on=("h",))
+
+    def tag(t: pa.Table, side: int) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        part = ((did * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(n_parts)).astype(np.int64)
+        n = t.num_rows
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pos": t["pos"] if side == 0 else pa.nulls(n, pa.int64()),
+            "text": pa.nulls(n, pa.string()) if side == 0
+            else pc.cast(t[text_col], pa.string()),
+            "__side": pa.array(np.full(n, side, np.int8), pa.int8()),
+            "__part": pa.array(part, pa.int64())})
+
+    side0 = dup_pos.map_batches(lambda t: tag(t, 0),
+                                batch_format="pyarrow")
+    side1 = docs.map_batches(lambda t: tag(t, 1), batch_format="pyarrow")
+
+    def kernel(g: pa.Table) -> pa.Table:
+        return _removal_partition(g, w)
+
+    return side0.union(side1) \
+        .groupby("__part", num_partitions=n_parts) \
+        .map_groups(kernel, batch_format="pyarrow")

@@ -108,3 +108,64 @@ def test_dup_ngram_join_path_matches_broadcast(ray_session, monkeypatch):
     assert a.equals(b)
     dup_docs = set(a.loc[a["n_dup"] > 0, "doc_id"])
     assert set(range(10)) | set(range(40, 50)) <= dup_docs
+
+
+def test_remove_dup_ngrams_basic(ray_session):
+    from dedupe_api_ray.extras.ngram_dup import remove_dup_ngrams
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h i j",      # 'a..h' dup with doc 2
+            "x y a b c d e f g h",
+            "u1 u2 u3 u4 u5 u6 u7 u8",  # unique 8-gram: untouched
+            "short text"])}))            # < 8 tokens: untouched
+    df = remove_dup_ngrams(docs, w=8, min_docs=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # the shared window covers tokens 0..7 of doc 1 and 2..9 of doc 2
+    assert df.loc[1, "text_dedup"] == "i j"
+    assert df.loc[1, "n_removed"] == 8 and df.loc[1, "n_tokens"] == 10
+    assert df.loc[2, "text_dedup"] == "x y"
+    assert df.loc[3, "n_removed"] == 0
+    assert df.loc[3, "text_dedup"] == "u1 u2 u3 u4 u5 u6 u7 u8"
+    assert df.loc[4, "text_dedup"] == "short text"
+
+
+def test_remove_dup_ngrams_overlapping_spans(ray_session):
+    from dedupe_api_ray.extras.ngram_dup import remove_dup_ngrams
+
+    # doc 1 repeats the shared phrase twice with one token between:
+    # coverage is a UNION of overlapping [pos, pos+8) spans
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([f"{shared} mid {shared} tail", shared])}))
+    df = remove_dup_ngrams(docs, w=8, min_docs=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert df.loc[1, "text_dedup"] == "mid tail"
+    assert df.loc[1, "n_removed"] == 16
+    assert df.loc[2, "text_dedup"] == "" and df.loc[2, "n_removed"] == 8
+
+
+def test_remove_dup_ngrams_join_path_matches_broadcast(ray_session,
+                                                       monkeypatch):
+    import dedupe_api_ray.utils as U
+    from dedupe_api_ray.extras.ngram_dup import remove_dup_ngrams
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(30)]
+    texts += texts[:8]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    a = remove_dup_ngrams(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    monkeypatch.setattr(U, "should_broadcast", lambda ds, **kw: False)
+    b = remove_dup_ngrams(docs).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    # exact-dup docs lose everything; output must still carry a row
+    assert len(a) == len(texts)
+    assert (a.loc[a["doc_id"] < 8, "n_removed"] ==
+            a.loc[a["doc_id"] < 8, "n_tokens"]).all()
