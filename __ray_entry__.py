@@ -718,6 +718,20 @@ def _q_orders_window(sf_dir: str):
                                "run_cents", "prev_orderkey"])
 
 
+def _q_lineitem_rank(sf_dir: str):
+    """RANK / DENSE_RANK per supplier ordered by l_quantity — real
+    ties (quantity is small-integer-valued), where row_number would be
+    nondeterministic but rank/dense_rank are exact."""
+    from dedupe_api_ray.stages.windows import window_over
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_suppkey",
+                        "l_quantity"])
+    return window_over(li, partition_by="l_suppkey",
+                       order_by=["l_quantity"],
+                       rank="rnk", dense_rank="drnk")
+
+
 def _q_lineitem_quantiles(sf_dir: str):
     """Exact order-statistic quantiles of l_extendedprice (rank
     ceil(q*N), nulls excluded) via the selection-not-sort histogram
@@ -736,6 +750,17 @@ def _q_lineitem_quantiles(sf_dir: str):
     return pa.table({"q": out["q"],
                      "value_cents": pa.array(cents.astype(np.int64),
                                              pa.int64())})
+
+
+def _q_events_type_quantiles(sf_dir: str):
+    """Per event_type exact quantiles of value (rank ceil(q*n) within
+    the group) — the grouped complement of the global selection
+    operator; one key shuffle + one lexsort kernel."""
+    from dedupe_api_ray.stages.quantiles import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ev, key="event_type", col="value",
+                             qs=[0.5, 0.9, 0.99])
 
 
 def _q_supplier_distinct_parts(sf_dir: str):
@@ -1440,8 +1465,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "customer_semi_orders": _q_customer_semi_orders,
         "orders_window": _q_orders_window,
+        "lineitem_rank": _q_lineitem_rank,
         "lineitem_price_quantiles": _q_lineitem_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
+        "events_type_quantiles": _q_events_type_quantiles,
         "customer_anti_orders": _q_customer_anti_orders,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
         "cc_components": _q_cc_components,
@@ -1988,6 +2015,23 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_rev_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "lineitem_rank": """
+            SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+                   cast(rank() OVER w AS BIGINT) AS rnk,
+                   cast(dense_rank() OVER w AS BIGINT) AS drnk
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity)""",
+        "events_type_quantiles": """
+            WITH r AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS c
+              FROM events WHERE value IS NOT NULL
+            ), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            SELECT event_type, cast(q AS DOUBLE) AS q, value
+            FROM qs, r
+            WHERE rn = cast(ceil(cast(q AS DOUBLE) * c) AS BIGINT)""",
         "supplier_distinct_parts": """
             SELECT l_suppkey, count(*) AS n_lineitems,
                    count(DISTINCT l_partkey) AS n_parts

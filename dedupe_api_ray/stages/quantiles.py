@@ -177,3 +177,79 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
     return pa.table({"q": pa.array([tg["q"] for tg in targets],
                                    pa.float64()),
                      "value": pa.array(values, val_type)})
+
+
+def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
+                                qs: list[float]) -> pa.Table:
+    """One lexsort + segment arithmetic: for every key in the
+    partition and every q, the rank-ceil(q*n_valid) element of the
+    key's non-null values (null when the key has only nulls)."""
+    from dedupe_api_ray.stages.asof import _sort_key_ints
+    n = g.num_rows
+    kc = _sort_key_ints(g[key])
+    valid = pc.is_valid(g[col]).to_numpy(zero_copy_only=False)
+    vals = g[col].to_numpy(zero_copy_only=False)
+    # order: key, then valid rows by value with nulls LAST (vc is a
+    # dense rank over valid values only; invalid rows get +inf rank)
+    vc = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    if valid.any():
+        vv = vals[valid]
+        import pandas as pd
+        codes, _ = pd.factorize(vv, sort=True)
+        vc[valid] = codes
+    order = np.lexsort((vc, kc))
+    ks, va = kc[order], valid[order]
+    heads = np.r_[True, ks[1:] != ks[:-1]] if n else np.zeros(0, bool)
+    starts = np.flatnonzero(heads)
+    seg_len = np.diff(np.r_[starts, n])
+    n_valid = np.add.reduceat(va.astype(np.int64), starts) if n \
+        else np.zeros(0, np.int64)
+    out_key, out_q, out_idx = [], [], []
+    for q in qs:
+        ranks = np.ceil(q * n_valid).astype(np.int64)
+        idx = starts + np.maximum(ranks, 1) - 1   # clamped; masked below
+        out_key.append(starts)
+        out_q.append(np.full(len(starts), q))
+        out_idx.append(np.where(n_valid > 0, idx, -1))
+    key_take = pa.array(np.concatenate(out_key) if out_key else [],
+                        pa.int64())
+    idx_all = np.concatenate(out_idx) if out_idx else \
+        np.zeros(0, np.int64)
+    ok = idx_all >= 0
+    val_take = g[col].take(pa.array(order[np.where(ok, idx_all, 0)],
+                                    pa.int64()))
+    val_out = pc.if_else(pa.array(ok), val_take,
+                         pa.scalar(None, type=val_take.type))
+    return pa.table({key: g[key].take(pa.array(order[
+        np.concatenate(out_key)] if out_key else [], pa.int64())),
+        "q": pa.array(np.concatenate(out_q) if out_q else [],
+                      pa.float64()),
+        "value": val_out})
+
+
+def grouped_quantiles(ds: ray.data.Dataset, *, key: str, col: str,
+                      qs: list[float],
+                      num_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """Per-key exact quantiles: for each key and each q, the rank
+    ``ceil(q * n)`` order statistic of the key's non-null ``col``
+    values (one output row per key per q; null value when the key has
+    only nulls).  ONE hash shuffle by key, one lexsort kernel per
+    partition — the grouped complement of ``exact_quantiles``.
+    Partitioning assumption: one key's rows fit in one partition (the
+    same assumption as the join/window family)."""
+    from dedupe_api_ray.stages.asof import _tag_partition
+    from dedupe_api_ray.utils import shuffle_partitions
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("grouped_quantiles: each q must be in (0, 1]")
+    n_parts = shuffle_partitions(num_partitions)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _tag_partition(t.select([key, col]), 0, key, n_parts)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        return _grouped_quantile_partition(g, key, col, list(qs))
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__part", num_partitions=n_parts) \
+        .map_groups(kernel, batch_format="pyarrow")

@@ -32,6 +32,48 @@ import ray.data
 from dedupe_api_ray.stages.asof import _arrow_schema, _tag_partition
 
 
+def _bloom_hashes(keys: np.ndarray, m_bits: int, k: int
+                  ) -> list[np.ndarray]:
+    """k bit indices per key via double hashing: h1 from the same
+    ``pandas.util.hash_array`` the partition tag uses, h2 a splitmix
+    avalanche of h1 (independent enough for Bloom FP bounds)."""
+    h1 = pd.util.hash_array(np.asarray(keys), categorize=False)
+    with np.errstate(over="ignore"):
+        z = (h1 ^ (h1 >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)  # odd → full cycle
+        return [((h1 + np.uint64(i) * h2) % np.uint64(m_bits))
+                for i in range(k)]
+
+
+def _bloom_add(bits: np.ndarray, keys: np.ndarray, m_bits: int,
+               k: int) -> None:
+    for idx in _bloom_hashes(keys, m_bits, k):
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+
+
+def _bloom_test(bits: np.ndarray, keys: np.ndarray, m_bits: int,
+                k: int) -> np.ndarray:
+    hit = np.ones(len(keys), dtype=bool)
+    for idx in _bloom_hashes(keys, m_bits, k):
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 != 0
+    return hit
+
+
+def _norm_keys(col: pa.ChunkedArray, target: pa.DataType) -> np.ndarray:
+    """The SAME normalization _tag_partition hashes, so bloom and
+    partition decisions agree bit-for-bit."""
+    col = pc.cast(col, target)
+    if pa.types.is_integer(target) or pa.types.is_temporal(target):
+        return pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(target):
+        return pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False)
+
+
 def _membership_partition(g: pa.Table, key: str, left_cols: list[str],
                           anti: bool) -> pa.Table:
     side = g["__side"].to_numpy(zero_copy_only=False)
@@ -53,7 +95,9 @@ def _membership_partition(g: pa.Table, key: str, left_cols: list[str],
 
 def _exists_join(left: ray.data.Dataset, right: ray.data.Dataset,
                  left_on: str, right_on: str | None, anti: bool,
-                 num_partitions: int | None) -> ray.data.Dataset:
+                 num_partitions: int | None,
+                 prefilter: str | None = None,
+                 bloom_bits: int = 1 << 23) -> ray.data.Dataset:
     from dedupe_api_ray.utils import shuffle_partitions
     n_parts = shuffle_partitions(num_partitions)
     right_on = right_on or left_on
@@ -63,6 +107,43 @@ def _exists_join(left: ray.data.Dataset, right: ray.data.Dataset,
     right_schema = _arrow_schema(right)
     if right_on not in right_schema.names:
         raise ValueError(f"right side lacks column {right_on!r}")
+    if prefilter not in (None, "bloom"):
+        raise ValueError(f"unknown prefilter {prefilter!r}")
+
+    misses = None  # anti-join rows settled by the bloom, shuffle-free
+    if prefilter == "bloom":
+        k_hashes = 4
+        key_t = left_types[left_on]
+
+        def partial_bloom(t: pa.Table) -> pa.Table:
+            b = np.zeros(bloom_bits >> 3, dtype=np.uint8)
+            keys = _norm_keys(pc.drop_null(t[right_on]), key_t)
+            if len(keys):
+                _bloom_add(b, keys, bloom_bits, k_hashes)
+            return pa.table({"b": pa.array([b.tobytes()], pa.binary())})
+
+        bits = np.zeros(bloom_bits >> 3, dtype=np.uint8)
+        for bt in right.map_batches(
+                partial_bloom, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=64):
+            for buf in bt["b"].to_pylist():
+                bits |= np.frombuffer(buf, dtype=np.uint8)
+        bloom_ref = ray.put(bits)
+
+        def split(t: pa.Table, want_hits: bool) -> pa.Table:
+            t = t.select(left_cols)
+            b = ray.get(bloom_ref)
+            hit = _bloom_test(b, _norm_keys(t[left_on], key_t),
+                              bloom_bits, k_hashes)
+            return t.filter(pa.array(hit if want_hits else ~hit))
+
+        if anti:
+            # bloom MISSES are definitely-absent: emit them directly,
+            # only possible hits pay the shuffle
+            misses = left.map_batches(lambda t: split(t, False),
+                                      batch_format="pyarrow")
+        left = left.map_batches(lambda t: split(t, True),
+                                batch_format="pyarrow")
 
     def tag_left(t: pa.Table) -> pa.Table:
         return _tag_partition(t.select(left_cols), 1, left_on, n_parts)
@@ -84,22 +165,38 @@ def _exists_join(left: ray.data.Dataset, right: ray.data.Dataset,
     def kernel(g: pa.Table) -> pa.Table:
         return _membership_partition(g, left_on, left_cols, anti)
 
-    return unioned.groupby("__part", num_partitions=n_parts) \
+    out = unioned.groupby("__part", num_partitions=n_parts) \
         .map_groups(kernel, batch_format="pyarrow")
+    return out.union(misses) if misses is not None else out
 
 
 def semi_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               left_on: str, right_on: str | None = None,
-              num_partitions: int | None = None) -> ray.data.Dataset:
-    """Left rows whose key EXISTS on the right (left columns only)."""
+              num_partitions: int | None = None,
+              prefilter: str | None = None,
+              bloom_bits: int = 1 << 23) -> ray.data.Dataset:
+    """Left rows whose key EXISTS on the right (left columns only).
+
+    ``prefilter="bloom"`` builds a Bloom filter over the right keys
+    (one extra streaming pass over the right; ``bloom_bits`` sized for
+    ~1% FP at ~1M distinct keys by default) and drops definite-miss
+    left rows BEFORE the shuffle — at low hit rates almost nothing
+    moves.  False positives are resolved by the exact kernel, so the
+    result is identical either way (equivalence-tested)."""
     return _exists_join(left, right, left_on, right_on, False,
-                        num_partitions)
+                        num_partitions, prefilter, bloom_bits)
 
 
 def anti_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               left_on: str, right_on: str | None = None,
-              num_partitions: int | None = None) -> ray.data.Dataset:
+              num_partitions: int | None = None,
+              prefilter: str | None = None,
+              bloom_bits: int = 1 << 23) -> ray.data.Dataset:
     """Left rows whose key does NOT exist on the right (left columns
-    only; null-key left rows are kept, per SQL NOT EXISTS)."""
+    only; null-key left rows are kept, per SQL NOT EXISTS).
+
+    ``prefilter="bloom"``: definite-miss rows (the anti join's likely
+    bulk) bypass the shuffle entirely and are emitted directly; only
+    possible hits pay the exact membership pass."""
     return _exists_join(left, right, left_on, right_on, True,
-                        num_partitions)
+                        num_partitions, prefilter, bloom_bits)

@@ -40,8 +40,9 @@ from dedupe_api_ray.stages.asof import (_arrow_schema, _sort_key_ints,
 
 def _window_partition(g: pa.Table, key: str, order_by: list[str],
                       out_cols: list[str], row_number: str | None,
-                      lag: dict[str, str],
-                      cumsum: dict[str, str]) -> pa.Table:
+                      lag: dict[str, str], cumsum: dict[str, str],
+                      rank: str | None = None,
+                      dense_rank: str | None = None) -> pa.Table:
     n = g.num_rows
     for c in (key, *order_by):
         if g[c].null_count:
@@ -64,6 +65,20 @@ def _window_partition(g: pa.Table, key: str, order_by: list[str],
         c: g[c].take(take) for c in out_cols}
     if row_number is not None:
         cols[row_number] = pa.array(np.arange(n) - base + 1, pa.int64())
+    if rank is not None or dense_rank is not None:
+        # tie-group head: new key OR any order column changed
+        chg = heads.copy()
+        for oc in ords:
+            os_ = oc[order]
+            if n:
+                chg[1:] |= os_[1:] != os_[:-1]
+        if rank is not None:
+            th = np.maximum.accumulate(
+                np.where(chg, np.arange(n), -1))
+            cols[rank] = pa.array(th - base + 1, pa.int64())
+        if dense_rank is not None:
+            d = np.cumsum(chg)
+            cols[dense_rank] = pa.array(d - d[base] + 1, pa.int64())
     for out, src in cumsum.items():
         col = g[src]
         if col.null_count:
@@ -89,13 +104,17 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
                 order_by: list[str], row_number: str | None = None,
                 lag: dict[str, str] | None = None,
                 cumsum: dict[str, str] | None = None,
+                rank: str | None = None,
+                dense_rank: str | None = None,
                 num_partitions: int | None = None) -> ray.data.Dataset:
     """Append window columns computed over
     ``PARTITION BY partition_by ORDER BY *order_by`` (ties beyond the
     given order columns do not occur when the last order column is
     unique — pass a unique id last for fully deterministic output).
 
-    ``row_number``: output column name for the 1-based rank.
+    ``row_number``: output column name for the 1-based position.
+    ``rank`` / ``dense_rank``: SQL RANK() / DENSE_RANK() — unlike
+    row_number these are deterministic even when order_by has ties.
     ``lag``: {out_col: src_col} — previous row's value, null at heads.
     ``cumsum``: {out_col: src_col} — inclusive running sum
     (``ROWS UNBOUNDED PRECEDING``), exact for integer sources.
@@ -104,13 +123,13 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
     from dedupe_api_ray.utils import shuffle_partitions
     lag = dict(lag or {})
     cumsum = dict(cumsum or {})
-    if row_number is None and not lag and not cumsum:
+    named = [c for c in (row_number, rank, dense_rank) if c is not None]
+    if not named and not lag and not cumsum:
         raise ValueError("window_over: nothing to compute")
     n_parts = shuffle_partitions(num_partitions)
     schema = _arrow_schema(ds)
     out_cols = list(schema.names)
-    clash = [c for c in (*(() if row_number is None else (row_number,)),
-                         *lag, *cumsum) if c in out_cols]
+    clash = [c for c in (*named, *lag, *cumsum) if c in out_cols]
     if clash:
         raise ValueError(f"window_over: output columns {clash} already "
                          "exist on the input")
@@ -124,7 +143,8 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
 
     def kernel(g: pa.Table) -> pa.Table:
         return _window_partition(g, partition_by, order_by, out_cols,
-                                 row_number, lag, cumsum)
+                                 row_number, lag, cumsum, rank,
+                                 dense_rank)
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__part", num_partitions=n_parts) \

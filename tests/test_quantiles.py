@@ -77,3 +77,49 @@ def test_quantiles_nulls_and_guards(ray_session):
         {"v": pa.array([1.0, float("nan"), 2.0], pa.float64())}))
     with pytest.raises(Exception, match="NaN"):
         exact_quantiles(nan_ds, "v", [0.5])
+
+
+def test_grouped_quantiles_match_pandas(ray_session):
+    import ray.data
+
+    from dedupe_api_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"k": rng.integers(0, 20, 3000),
+                       "v": rng.normal(0, 100, 3000)})
+    qs = [0.25, 0.5, 0.95]
+
+    def want(g):
+        s = np.sort(g.to_numpy())
+        return {q: s[int(np.ceil(q * len(s))) - 1] for q in qs}
+
+    exp = {k: want(g["v"]) for k, g in df.groupby("k")}
+    prev = None
+    for blocks, parts in ((1, 4), (6, 9)):
+        ds = ray.data.from_pandas(
+            [d for _, d in df.groupby(df.index % blocks)]
+            if blocks > 1 else df)
+        got = grouped_quantiles(ds, key="k", col="v", qs=qs,
+                                num_partitions=parts).to_pandas()
+        assert len(got) == 20 * len(qs)
+        for _, row in got.iterrows():
+            assert exp[row["k"]][row["q"]] == row["value"]
+        key = got.sort_values(["k", "q"]).reset_index(drop=True)
+        if prev is not None:
+            pd.testing.assert_frame_equal(key, prev)
+        prev = key
+
+
+def test_grouped_quantiles_all_null_key(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dedupe_api_ray.stages.quantiles import grouped_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 2], pa.int64()),
+        "v": pa.array([5.0, 1.0, None, None], pa.float64())}))
+    got = grouped_quantiles(ds, key="k", col="v", qs=[0.5]).to_pandas() \
+        .set_index("k").sort_index()
+    assert got.loc[1, "value"] == 1.0      # ceil(0.5*2)=1 → min
+    assert pd.isna(got.loc[2, "value"])    # all-null key keeps its row

@@ -68,3 +68,31 @@ def test_semi_validation(ray_session):
     with pytest.raises(ValueError, match="lacks column"):
         semi_join(ray.data.from_pandas(left),
                   ray.data.from_pandas(right), left_on="k")
+
+
+def test_bloom_prefilter_equivalence(ray_session):
+    """Bloom-prefiltered semi/anti must equal the exact paths — at a
+    realistic bitmap size AND at a pathologically tiny one (64 bits)
+    where false positives are common and must be resolved by the
+    exact kernel."""
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({"k": rng.integers(0, 500, 800).astype(float),
+                         "lid": np.arange(800)})
+    left.loc[::97, "k"] = None  # null keys: dropped by semi, kept by anti
+    right = pd.DataFrame({"k": rng.integers(400, 900, 150)})
+    base_s = sorted(_run(semi_join, left, right, left_on="k")["lid"])
+    base_a = sorted(_run(anti_join, left, right, left_on="k")["lid"])
+    for bits in (1 << 23, 64):
+        s = _run(semi_join, left, right, left_on="k",
+                 prefilter="bloom", bloom_bits=bits)
+        a = _run(anti_join, left, right, left_on="k",
+                 prefilter="bloom", bloom_bits=bits)
+        assert sorted(s["lid"]) == base_s
+        assert sorted(a["lid"]) == base_a
+        assert list(s.columns) == list(a.columns) == ["k", "lid"]
+
+
+def test_bloom_prefilter_guard(ray_session):
+    left = pd.DataFrame({"k": [1], "lid": [0]})
+    with pytest.raises(ValueError, match="prefilter"):
+        _run(semi_join, left, left, left_on="k", prefilter="cuckoo")

@@ -87,3 +87,22 @@ def test_window_guards(ray_session):
     with pytest.raises(ValueError, match="nothing to compute"):
         window_over(ray.data.from_pandas(ok), partition_by="k",
                     order_by=["o"])
+
+
+def test_window_rank_dense_rank(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"k": rng.integers(0, 10, 400),
+                       "v": rng.integers(0, 6, 400),   # heavy ties
+                       "uid": np.arange(400)})
+    got = window_over(ray.data.from_pandas(df), partition_by="k",
+                      order_by=["v"], rank="rnk",
+                      dense_rank="drnk").to_pandas()
+    want_r = df.groupby("k")["v"].rank(method="min").astype(int)
+    want_d = df.groupby("k")["v"].rank(method="dense").astype(int)
+    got = got.sort_values("uid").reset_index(drop=True)
+    np.testing.assert_array_equal(got["rnk"].to_numpy(),
+                                  want_r.to_numpy())
+    np.testing.assert_array_equal(got["drnk"].to_numpy(),
+                                  want_d.to_numpy())
