@@ -763,6 +763,31 @@ def _q_events_type_quantiles(sf_dir: str):
                              qs=[0.5, 0.9, 0.99])
 
 
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): sum of price
+    cents + count at every prefix level with a grouping_id bitmask
+    (bit i set = keys[i] rolled up; the oracle builds the same mask
+    explicitly since SQL GROUPING_ID bit order is the reverse).  One
+    wide shuffle; coarser levels cascade off aggregated data."""
+    from dedupe_api_ray.stages.rollup import rollup_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_orderpriority",
+                            "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_r(pc.multiply(t["o_totalprice"], 100.0), 0),
+                        pa.int64())
+        return pa.table({"o_orderstatus": t["o_orderstatus"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "cents": cents})
+
+    return rollup_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        keys=["o_orderstatus", "o_orderpriority"],
+        sums={"total_cents": "cents"})
+
+
 def _q_supplier_distinct_parts(sf_dir: str):
     """Per supplier: lineitem count + exact COUNT(DISTINCT l_partkey),
     one key-partitioned shuffle with map-side pair combining."""
@@ -1469,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": _q_lineitem_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
         "events_type_quantiles": _q_events_type_quantiles,
+        "orders_rollup": _q_orders_rollup,
         "customer_anti_orders": _q_customer_anti_orders,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
         "cc_components": _q_cc_components,
@@ -2015,6 +2041,16 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_rev_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   count(*) AS n,
+                   cast(grouping(o_orderstatus)
+                        + 2 * grouping(o_orderpriority) AS BIGINT)
+                     AS grouping_id
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
         "lineitem_rank": """
             SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
                    cast(rank() OVER w AS BIGINT) AS rnk,
