@@ -42,7 +42,9 @@ def _window_partition(g: pa.Table, key: str, order_by: list[str],
                       out_cols: list[str], row_number: str | None,
                       lag: dict[str, str], cumsum: dict[str, str],
                       rank: str | None = None,
-                      dense_rank: str | None = None) -> pa.Table:
+                      dense_rank: str | None = None,
+                      lead: dict[str, str] | None = None) -> pa.Table:
+    lead = lead or {}
     n = g.num_rows
     for c in (key, *order_by):
         if g[c].null_count:
@@ -97,6 +99,13 @@ def _window_partition(g: pa.Table, key: str, order_by: list[str],
         taken = src_sorted.take(pa.array(prev, pa.int64()))
         cols[out] = pc.if_else(pa.array(~heads), taken,
                                pa.scalar(None, type=taken.type))
+    for out, src in lead.items():
+        src_sorted = g[src].take(take)
+        nxt = np.minimum(np.arange(n) + 1, max(n - 1, 0))
+        tails = np.r_[heads[1:], True] if n else heads  # segment last row
+        taken = src_sorted.take(pa.array(nxt, pa.int64()))
+        cols[out] = pc.if_else(pa.array(~tails), taken,
+                               pa.scalar(None, type=taken.type))
     return pa.table(cols)
 
 
@@ -106,6 +115,7 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
                 cumsum: dict[str, str] | None = None,
                 rank: str | None = None,
                 dense_rank: str | None = None,
+                lead: dict[str, str] | None = None,
                 num_partitions: int | None = None) -> ray.data.Dataset:
     """Append window columns computed over
     ``PARTITION BY partition_by ORDER BY *order_by`` (ties beyond the
@@ -115,25 +125,28 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
     ``row_number``: output column name for the 1-based position.
     ``rank`` / ``dense_rank``: SQL RANK() / DENSE_RANK() — unlike
     row_number these are deterministic even when order_by has ties.
-    ``lag``: {out_col: src_col} — previous row's value, null at heads.
+    ``lag`` / ``lead``: {out_col: src_col} — previous / next row's
+    value, null at segment heads / tails.
     ``cumsum``: {out_col: src_col} — inclusive running sum
     (``ROWS UNBOUNDED PRECEDING``), exact for integer sources.
     Output carries every input column plus the window columns.
     """
     from dedupe_api_ray.utils import shuffle_partitions
     lag = dict(lag or {})
+    lead = dict(lead or {})
     cumsum = dict(cumsum or {})
     named = [c for c in (row_number, rank, dense_rank) if c is not None]
-    if not named and not lag and not cumsum:
+    if not named and not lag and not lead and not cumsum:
         raise ValueError("window_over: nothing to compute")
     n_parts = shuffle_partitions(num_partitions)
     schema = _arrow_schema(ds)
     out_cols = list(schema.names)
-    clash = [c for c in (*named, *lag, *cumsum) if c in out_cols]
+    clash = [c for c in (*named, *lag, *lead, *cumsum) if c in out_cols]
     if clash:
         raise ValueError(f"window_over: output columns {clash} already "
                          "exist on the input")
-    for src in (*lag.values(), *cumsum.values(), *order_by):
+    for src in (*lag.values(), *lead.values(), *cumsum.values(),
+                *order_by):
         if src not in out_cols:
             raise ValueError(f"window_over: no such column {src!r}")
 
@@ -144,7 +157,7 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
     def kernel(g: pa.Table) -> pa.Table:
         return _window_partition(g, partition_by, order_by, out_cols,
                                  row_number, lag, cumsum, rank,
-                                 dense_rank)
+                                 dense_rank, lead)
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__part", num_partitions=n_parts) \

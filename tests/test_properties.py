@@ -144,3 +144,35 @@ def test_media_roundtrips(h, w, seed):
     assert sr == 8000 and len(got) == len(x)
     # 16-bit quantization + the 32767/32768 encode/decode scale step
     assert np.abs(got - np.clip(x, -1, 1)).max() < 2.0 / 32768
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(
+    st.floats(allow_nan=False, allow_infinity=True, width=64),
+    st.just(0.0), st.just(-0.0)), min_size=1, max_size=50))
+def test_quantile_key_transform_order_preserving_floats(vals):
+    from dedupe_api_ray.stages.quantiles import _from_key, _to_keys
+
+    a = np.array(vals, dtype=np.float64)
+    k = _to_keys(a)
+    # order-preserving: sorting keys sorts values (stable, incl. ±inf
+    # and -0.0/0.0 which are EQUAL as floats but distinct bit patterns:
+    # compare the sorted VALUES, not the permutation)
+    np.testing.assert_array_equal(np.sort(a), a[np.argsort(k)])
+    # bijective: every key round-trips to its exact value bit pattern
+    for v, kk in zip(a, k):
+        rt = _from_key(int(kk), True)
+        assert (rt == v) or (v == 0.0 and rt == 0.0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=50))
+def test_quantile_key_transform_order_preserving_ints(vals):
+    from dedupe_api_ray.stages.quantiles import _from_key, _to_keys
+
+    a = np.array(vals, dtype=np.int64)
+    k = _to_keys(a)
+    np.testing.assert_array_equal(np.sort(a), a[np.argsort(k)])
+    for v, kk in zip(a, k):
+        assert _from_key(int(kk), False) == int(v)

@@ -106,3 +106,17 @@ def test_window_rank_dense_rank(ray_session):
                                   want_r.to_numpy())
     np.testing.assert_array_equal(got["drnk"].to_numpy(),
                                   want_d.to_numpy())
+
+
+def test_window_lead(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2], "o": [3, 1, 2, 9],
+                       "uid": [10, 11, 12, 13]})
+    got = window_over(ray.data.from_pandas(df), partition_by="k",
+                      order_by=["o"], lead={"next_uid": "uid"},
+                      lag={"prev_uid": "uid"}).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    # k=1 ordered by o: uid 11, 12, 10
+    assert list(got["next_uid"].fillna(-1)) == [12, 10, -1, -1]
+    assert list(got["prev_uid"].fillna(-1)) == [-1, 11, 12, -1]
