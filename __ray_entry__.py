@@ -1064,6 +1064,58 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
                                     multiprobe=1, seed=_EMB_LSH_SEED)
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed full-corpus Lloyd k-means (k=4, 3 iterations) over
+    the embeddings table: centroids broadcast, assignment + partial
+    sums fused per batch, k*d-row shuffles.  Deterministic and
+    SQL-replayable by construction (min-id init, rounded distances and
+    means, lowest-cid tie-break); oracle = the unrolled iteration CTE
+    chain."""
+    from dedupe_api_ray.extras.similarity import kmeans_fit
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _cent, assigns = kmeans_fit(emb, k=4, iters=3)
+    return assigns
+
+
+def _kmeans_sql(k: int = 4, iters: int = 3, d: int = 64,
+                cent_dp: int = 6, dist_dp: int = 9) -> str:
+    """Unrolled Lloyd iterations as a CTE chain — each a{it} is the
+    argmin assignment (rounded distance, cid tie-break via
+    row_number), each c{it+1} the per-dimension rounded means with
+    empty clusters keeping their previous centroid."""
+    dist = f"round(list_distance(CAST(e.embedding AS DOUBLE[]), c.c), {dist_dp})"
+    ctes = [f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS c
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {k}))"""]
+    for it in range(iters):
+        ctes.append(f"""a{it} AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {dist}, c.cid) AS rn
+            FROM embeddings e CROSS JOIN c{it} c) WHERE rn = 1)""")
+        ctes.append(f"""m{it} AS (
+          SELECT a.cid, u.i,
+                 round(avg(CAST(e.embedding[i] AS DOUBLE)), {cent_dp}) AS m
+          FROM embeddings e JOIN a{it} a USING (vec_id),
+               unnest(range(1, {d + 1})) AS u(i)
+          GROUP BY a.cid, u.i)""")
+        ctes.append(f"""c{it + 1} AS (
+          SELECT c{it}.cid, coalesce(mm.c, c{it}.c) AS c
+          FROM c{it} LEFT JOIN (SELECT cid, list(m ORDER BY i) AS c
+                                FROM m{it} GROUP BY cid) mm
+          USING (cid))""")
+    return "WITH " + ",\n".join(ctes) + f"""
+        SELECT vec_id, cid AS cluster_id, round(d9, 6) AS dist FROM (
+          SELECT e.vec_id, c.cid, {dist} AS d9,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {dist}, c.cid) AS rn
+          FROM embeddings e CROSS JOIN c{iters} c) WHERE rn = 1"""
+
+
 def _q_lang_id(sf_dir: str):
     from dedupe_api_ray.extras.textstats import LangId
 
@@ -1501,9 +1553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_reps": _q_canonicalize,
         "gazetteer_topk": _q_gazetteer_topk,
         "gazetteer_topk_lsh": _q_gazetteer_topk_lsh,
-        # similarity search
+        # similarity search / embedding ML
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_ivf": _q_embedding_topk_ivf,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         # canopy / levenshtein / greedy (sequential sweeps — oracled
         # via recursive CTEs that replay the pinned sweep order)
         "tfidf_canopy": _q_tfidf_canopy,
@@ -2133,6 +2186,7 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""",
+        "kmeans_embeddings": _kmeans_sql(),
         "embedding_topk": """
             SELECT query_id, vec_id, round(score, 4) AS score FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

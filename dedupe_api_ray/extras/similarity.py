@@ -282,3 +282,116 @@ def ivf_topk(embeddings: ray.data.Dataset, queries: np.ndarray,
             import atexit
             import shutil
             atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (full-corpus Lloyd) — unlike train_centroids
+# (driver-side sample for IVF), every iteration streams the WHOLE
+# corpus: assignment + per-cluster partial sums inside map_batches,
+# then a k*d-row groupby. SQL-replayable by construction.
+# ---------------------------------------------------------------------------
+
+
+class _KMeansAssign:
+    """Actor stage: assign each vector to its nearest centroid
+    (Euclidean, distance rounded half-away at ``dist_dp`` so ulp noise
+    cannot flip an argmin — ties then break on the LOWEST cluster id,
+    the same total order the SQL oracle's row_number ORDER BY uses)."""
+
+    def __init__(self, cent_ref, vec_col: str, id_col: str,
+                 dist_dp: int, emit: str):
+        from dedupe_api_ray.utils import round_half_away
+        self._round = round_half_away
+        self.cent = ray.get(cent_ref)  # (k, d) float64
+        self.vec_col, self.id_col = vec_col, id_col
+        self.dist_dp, self.emit = dist_dp, emit
+
+    def _assign(self, vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        d2 = ((vecs[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+        dist = self._round(np.sqrt(d2), self.dist_dp)
+        a = np.argmin(dist, axis=1)  # first min → lowest cid on ties
+        return a, dist[np.arange(len(a)), a]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[self.vec_col].to_pylist()) \
+            .astype(np.float64)
+        a, dist = self._assign(vecs)
+        if self.emit == "assignments":
+            return pa.table({
+                self.id_col: batch[self.id_col],
+                "cluster_id": pa.array(a.astype(np.int64)),
+                "dist": pa.array(self._round(dist, 6), pa.float64())})
+        # partial sums: (cid, dim, s, n) — k*d rows per batch, so the
+        # shuffle moves centroids' worth of data, never vectors'
+        k, d = self.cent.shape
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, a, vecs)
+        n = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table({
+            "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(n, d))})
+
+
+def kmeans_fit(embeddings: ray.data.Dataset, *, k: int = 4,
+               iters: int = 3, vec_col: str = "embedding",
+               id_col: str = "vec_id", cent_dp: int = 6,
+               dist_dp: int = 9
+               ) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Full-corpus Lloyd k-means.  Returns (centroids, assignments) —
+    assignments is a Dataset of (id_col, cluster_id, dist).
+
+    Determinism + oracle parity (every quantity is replayable in SQL):
+    - init = the k vectors with the SMALLEST ids (cid by id order);
+    - assignment = argmin of Euclidean distance rounded half-away at
+      ``dist_dp``; ties break on lowest cid;
+    - update = per-dimension mean rounded half-away at ``cent_dp``
+      (rounding absorbs the float-summation-order difference between
+      the engine's partial sums and SQL's avg());
+    - an empty cluster keeps its previous centroid.
+
+    Scale shape: centroids broadcast via ``ray.put`` (k*d doubles);
+    each iteration is ONE streaming pass — assignment and per-cluster
+    partial sums fused in an actor pool, then a groupby over k*d
+    partial rows (centroid-sized, never corpus-sized); means assemble
+    driver-side from k*d aggregated rows.  iters+1 passes total."""
+    from dedupe_api_ray.utils import actor_pool, round_half_away
+    from ray.data.aggregate import Sum
+
+    init = embeddings.select_columns([id_col, vec_col]) \
+        .sort(id_col).limit(k).to_pandas()
+    if len(init) < k:
+        raise ValueError(f"kmeans_fit: k={k} but only {len(init)} rows")
+    cent = round_half_away(
+        np.stack(init[vec_col].to_list()).astype(np.float64), cent_dp)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        partials = embeddings.map_batches(
+            _KMeansAssign,
+            fn_constructor_kwargs=dict(cent_ref=cent_ref,
+                                       vec_col=vec_col, id_col=id_col,
+                                       dist_dp=dist_dp, emit="partials"),
+            batch_format="pyarrow", concurrency=actor_pool(), num_cpus=1)
+        agg = partials.groupby(["cid", "dim"], num_partitions=2) \
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        t = pa.concat_tables(list(agg.iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20)))  # k*d rows
+        cid = t["cid"].to_numpy(zero_copy_only=False)
+        dim = t["dim"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        new = cent.copy()  # empty clusters keep their centroid
+        ok = n > 0
+        new[cid[ok], dim[ok]] = round_half_away(s[ok] / n[ok], cent_dp)
+        cent = new
+
+    cent_ref = ray.put(cent)
+    assigns = embeddings.map_batches(
+        _KMeansAssign,
+        fn_constructor_kwargs=dict(cent_ref=cent_ref, vec_col=vec_col,
+                                   id_col=id_col, dist_dp=dist_dp,
+                                   emit="assignments"),
+        batch_format="pyarrow", concurrency=actor_pool(), num_cpus=1)
+    return cent, assigns
