@@ -758,7 +758,13 @@ def _q_events_type_quantiles(sf_dir: str):
     operator; one key shuffle + one lexsort kernel."""
     from dedupe_api_ray.stages.quantiles import grouped_quantiles
 
-    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    ev = _read(sf_dir, "events", columns=["event_type", "value"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["value"])),
+                     batch_format="pyarrow")
+    # null values are filtered BEFORE the operator so a hypothetical
+    # all-null event_type vanishes on both sides (the engine would
+    # otherwise emit its (key, q, NULL) rows; the oracle's WHERE
+    # value IS NOT NULL drops the key entirely)
     return grouped_quantiles(ev, key="event_type", col="value",
                              qs=[0.5, 0.9, 0.99])
 

@@ -408,10 +408,13 @@ def remove_dup_ngrams(docs: ray.data.Dataset, text_col: str = "text",
                         on=("h",))
 
     def tag(t: pa.Table, side: int) -> pa.Table:
-        did = t["doc_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        part = ((did * np.uint64(0x9E3779B97F4A7C15))
-                % np.uint64(n_parts)).astype(np.int64)
+        # pd.util.hash_array, NOT (id * C) % n — the multiply is a
+        # bijection mod 2^m, so its low bits are a pure function of
+        # id mod n_parts and strided doc ids would collapse into one
+        # partition (same reasoning as the join family's tag)
+        from dedupe_api_ray.stages.asof import _key_partition
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        part = _key_partition(did, n_parts)
         n = t.num_rows
         return pa.table({
             "doc_id": t["doc_id"],

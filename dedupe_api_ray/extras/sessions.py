@@ -77,10 +77,14 @@ def sessionize(events: ray.data.Dataset, gap_minutes: float = 30.0,
     gap_us = int(gap_minutes * 60 * 1_000_000)
 
     def add_part(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        part = ((uid * np.uint64(0x9E3779B97F4A7C15))
-                % np.uint64(n_parts)).astype(np.int64)
+        # pd.util.hash_array, NOT (uid * C) % n: the multiply is a
+        # bijection mod 2^m so partition id would be a pure function
+        # of uid mod n_parts — strided user ids (sharded allocators)
+        # would collapse into one partition.  Output is partition-
+        # invariant either way (tested), so this only changes layout.
+        from dedupe_api_ray.stages.asof import _key_partition
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        part = _key_partition(uid, n_parts)
         return t.append_column("__part", pa.array(part, pa.int64()))
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:

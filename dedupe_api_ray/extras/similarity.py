@@ -343,7 +343,10 @@ def kmeans_fit(embeddings: ray.data.Dataset, *, k: int = 4,
     assignments is a Dataset of (id_col, cluster_id, dist).
 
     Determinism + oracle parity (every quantity is replayable in SQL):
-    - init = the k vectors with the SMALLEST ids (cid by id order);
+    - init = the k vectors with the SMALLEST ids (cid by id order),
+      UNROUNDED — both sides read the identical doubles from storage,
+      so rounding here would only create a divergence (the SQL c0 CTE
+      casts the raw embedding);
     - assignment = argmin of Euclidean distance rounded half-away at
       ``dist_dp``; ties break on lowest cid;
     - update = per-dimension mean rounded half-away at ``cent_dp``
@@ -356,15 +359,16 @@ def kmeans_fit(embeddings: ray.data.Dataset, *, k: int = 4,
     partial sums fused in an actor pool, then a groupby over k*d
     partial rows (centroid-sized, never corpus-sized); means assemble
     driver-side from k*d aggregated rows.  iters+1 passes total."""
+    from dedupe_api_ray.stages.topk import global_topk
     from dedupe_api_ray.utils import actor_pool, round_half_away
     from ray.data.aggregate import Sum
 
-    init = embeddings.select_columns([id_col, vec_col]) \
-        .sort(id_col).limit(k).to_pandas()
+    # k smallest ids without a full sort shuffle (per-block prune)
+    init = global_topk(embeddings.select_columns([id_col, vec_col]),
+                       [id_col], k).to_pandas().sort_values(id_col)
     if len(init) < k:
         raise ValueError(f"kmeans_fit: k={k} but only {len(init)} rows")
-    cent = round_half_away(
-        np.stack(init[vec_col].to_list()).astype(np.float64), cent_dp)
+    cent = np.stack(init[vec_col].to_list()).astype(np.float64)
 
     for _ in range(iters):
         cent_ref = ray.put(cent)

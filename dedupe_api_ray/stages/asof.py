@@ -75,27 +75,32 @@ def _key_partition(vals: np.ndarray, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
+def _norm_key_array(col: pa.ChunkedArray | pa.Array,
+                    target: pa.DataType) -> np.ndarray:
+    """Key column → the EXACT numpy array the partition tag hashes
+    (cast to the left key type first — ``pd.util.hash_array`` is
+    dtype- and unit-sensitive, int32 -1 and int64 -1 hash
+    differently).  Integer/temporal keys normalize to null-filled
+    int64: a single null would otherwise float the WHOLE numpy
+    conversion and change every non-null key's hash (null keys never
+    match, so where a null row lands is immaterial).  Shared by
+    ``_tag_partition`` and the semi-join Bloom prefilter, which MUST
+    hash bit-identically to it."""
+    col = pc.cast(col, target)
+    if pa.types.is_integer(target) or pa.types.is_temporal(target):
+        return pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(target):
+        return pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    return col.to_numpy(zero_copy_only=False)
+
+
 def _tag_partition(t: pa.Table, side: int, key_col: str,
                    n_parts: int) -> pa.Table:
-    """Append __part/__side for the union-then-shuffle join family.
-    Hashes the table's OWN key column — after any cast to the left
-    key type — because ``pd.util.hash_array`` is dtype- and
-    unit-sensitive (int32 -1 and int64 -1 hash differently): hashing
-    raw right-side values would scatter equal keys across partitions
-    and silently drop matches.  Integer/temporal keys are normalized
-    to null-filled int64 first: a single null in the column would
-    otherwise float the WHOLE numpy conversion and change every
-    non-null key's hash (null keys themselves never match, so the
-    partition a null row lands in is immaterial)."""
+    """Append __part/__side for the union-then-shuffle join family
+    (key normalization: see ``_norm_key_array``)."""
     col = t[key_col]
-    typ = col.type
-    if pa.types.is_integer(typ) or pa.types.is_temporal(typ):
-        keys = pc.fill_null(pc.cast(col, pa.int64()), 0) \
-            .to_numpy(zero_copy_only=False)
-    elif pa.types.is_floating(typ):
-        keys = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
-    else:
-        keys = col.to_numpy(zero_copy_only=False)
+    keys = _norm_key_array(col, col.type)
     part = _key_partition(keys, n_parts)
     return t.append_column("__part", pa.array(part, pa.int64())) \
         .append_column("__side", pa.array(

@@ -111,8 +111,8 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("exact_quantiles: each q must be in (0, 1]")
     n_parts = shuffle_partitions(num_partitions)
-    schema_type = dict(zip(ds.schema().names, ds.schema().types))[col]
-    floating = pa.types.is_floating(schema_type)
+    from dedupe_api_ray.stages.asof import _arrow_schema
+    floating = pa.types.is_floating(_arrow_schema(ds).field(col).type)
     val_type = pa.float64() if floating else pa.int64()
 
     hist = _hist_pass(ds, col, 48, None, n_parts)
@@ -189,6 +189,14 @@ def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
     kc = _sort_key_ints(g[key])
     valid = pc.is_valid(g[col]).to_numpy(zero_copy_only=False)
     vals = g[col].to_numpy(zero_copy_only=False)
+    # same contract as exact_quantiles: a true NaN VALUE (valid, not
+    # null — nulls also surface as NaN in the numpy view) would
+    # factorize as the SMALLEST code and silently shift every rank
+    if np.issubdtype(vals.dtype, np.floating) and valid.any() \
+            and np.isnan(vals[valid]).any():
+        raise ValueError(
+            "grouped_quantiles: NaN values present — filter them "
+            "upstream (NaN has no portable sort position)")
     # order: key, then valid rows by value with nulls LAST (vc is a
     # dense rank over valid values only; invalid rows get +inf rank)
     vc = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)

@@ -45,7 +45,10 @@ def rollup_aggregate(ds: ray.data.Dataset, *, keys: list[str],
     plus a row count.  Output: key columns (null where rolled up),
     one sum column per entry, ``count_col``, and ``grouping_id`` (the
     SQL bitmask: bit i set ⇔ keys[i] is rolled up; 0 = finest level,
-    2**len(keys)-1 = grand total)."""
+    2**len(keys)-1 = grand total).  SQL parity includes the empty
+    input: like ``GROUP BY ROLLUP``, an empty dataset yields exactly
+    one grand-total row (null keys, null sums, count 0)."""
+    from dedupe_api_ray.stages.asof import _arrow_schema
     from dedupe_api_ray.utils import shuffle_partitions
     if not keys:
         raise ValueError("rollup_aggregate: needs at least one key")
@@ -64,6 +67,26 @@ def rollup_aggregate(ds: ray.data.Dataset, *, keys: list[str],
         .groupby(keys, num_partitions=n_parts) \
         .aggregate(*[Sum(c, alias_name=c) for c in metric_cols]) \
         .materialize()
+
+    if finest.count() == 0:
+        # SQL ROLLUP over an empty table still emits the grand total.
+        # A fully-empty dataset may carry NO schema (e.g. a row filter
+        # that dropped everything) — the nulls are untyped then.
+        try:
+            in_schema = _arrow_schema(ds)
+
+            def _t(c: str) -> pa.DataType:
+                return in_schema.field(c).type
+        except Exception:
+            def _t(c: str) -> pa.DataType:
+                return pa.null()
+        row: dict[str, pa.Array] = {
+            k: pa.nulls(1, _t(k)) for k in keys}
+        for out, src in sums.items():
+            row[out] = pa.nulls(1, _t(src))
+        row[count_col] = pa.array([0], pa.int64())
+        row["grouping_id"] = pa.array([(1 << len(keys)) - 1], pa.int64())
+        return ray.data.from_arrow(pa.table(row))
 
     key_types: dict[str, pa.DataType] = {}
 

@@ -63,15 +63,11 @@ def _bloom_test(bits: np.ndarray, keys: np.ndarray, m_bits: int,
 
 
 def _norm_keys(col: pa.ChunkedArray, target: pa.DataType) -> np.ndarray:
-    """The SAME normalization _tag_partition hashes, so bloom and
+    """The SAME normalization _tag_partition hashes (one shared
+    implementation — see asof._norm_key_array), so bloom and
     partition decisions agree bit-for-bit."""
-    col = pc.cast(col, target)
-    if pa.types.is_integer(target) or pa.types.is_temporal(target):
-        return pc.fill_null(pc.cast(col, pa.int64()), 0) \
-            .to_numpy(zero_copy_only=False)
-    if pa.types.is_floating(target):
-        return pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
-    return col.to_numpy(zero_copy_only=False)
+    from dedupe_api_ray.stages.asof import _norm_key_array
+    return _norm_key_array(col, target)
 
 
 def _membership_partition(g: pa.Table, key: str, left_cols: list[str],

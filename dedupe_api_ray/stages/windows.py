@@ -145,8 +145,8 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
     if clash:
         raise ValueError(f"window_over: output columns {clash} already "
                          "exist on the input")
-    for src in (*lag.values(), *lead.values(), *cumsum.values(),
-                *order_by):
+    for src in (partition_by, *lag.values(), *lead.values(),
+                *cumsum.values(), *order_by):
         if src not in out_cols:
             raise ValueError(f"window_over: no such column {src!r}")
 

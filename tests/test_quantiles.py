@@ -123,3 +123,16 @@ def test_grouped_quantiles_all_null_key(ray_session):
         .set_index("k").sort_index()
     assert got.loc[1, "value"] == 1.0      # ceil(0.5*2)=1 → min
     assert pd.isna(got.loc[2, "value"])    # all-null key keeps its row
+
+
+def test_grouped_quantiles_nan_guard(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dedupe_api_ray.stages.quantiles import grouped_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "v": pa.array([1.0, float("nan")], pa.float64())}))
+    with pytest.raises(Exception, match="NaN"):
+        grouped_quantiles(ds, key="k", col="v", qs=[0.5]).to_pandas()

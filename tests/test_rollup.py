@@ -42,3 +42,19 @@ def test_rollup_guards(ray_session):
         rollup_aggregate(ds, keys=[], sums={"sv": "v"})
     with pytest.raises(ValueError, match="collides"):
         rollup_aggregate(ds, keys=["a"], sums={"a": "v"})
+
+
+def test_rollup_empty_input_emits_grand_total(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"a": ["x"], "b": [1], "v": [2]})).filter(
+        lambda r: False)
+    got = rollup_aggregate(ds, keys=["a", "b"],
+                           sums={"sv": "v"}).to_pandas()
+    # SQL GROUP BY ROLLUP over an empty table: ONE grand-total row
+    assert len(got) == 1
+    assert got["a"].isna().all() and got["b"].isna().all()
+    assert got["sv"].isna().all()
+    assert int(got["n"].iloc[0]) == 0
+    assert int(got["grouping_id"].iloc[0]) == 3

@@ -120,3 +120,12 @@ def test_window_lead(ray_session):
     # k=1 ordered by o: uid 11, 12, 10
     assert list(got["next_uid"].fillna(-1)) == [12, 10, -1, -1]
     assert list(got["prev_uid"].fillna(-1)) == [-1, 11, 12, -1]
+
+
+def test_window_unknown_partition_key_raises_early(ray_session):
+    import ray.data
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1], "o": [1]}))
+    with pytest.raises(ValueError, match="no such column"):
+        window_over(ds, partition_by="kk", order_by=["o"],
+                    row_number="rn")
