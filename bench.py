@@ -10,6 +10,8 @@ Headline pipelines, timed separately and summed into one metric:
                    corpus texts
 - q1_lineitem:     generic vectorized aggregate over $GRAFT_SF_DIR
                    lineitem (engine-op conformance at sf scale)
+- quantiles:       exact selection quantiles over lineitem price
+                   (histogram-refine passes, no sort shuffle)
 
 Prints ONE JSON line:
   {"metric": "e2e_bench_sec", "value": <sum>, "unit": "sec",
@@ -245,6 +247,12 @@ def run_bench() -> dict:
     q1 = entrymod._q_q1_lineitem(SF_DIR).to_pandas()
     queries["q1_lineitem"] = round(time.monotonic() - t0, 2)
     rows["q1_lineitem"] = len(q1)
+
+    # ---- selection quantiles at sf scale (no sort shuffle) ---------------
+    t0 = time.monotonic()
+    qt = entrymod._q_lineitem_quantiles(SF_DIR)
+    queries["quantiles"] = round(time.monotonic() - t0, 2)
+    rows["quantiles"] = qt.num_rows
 
     ray.shutdown()
     total = round(sum(queries.values()), 2)
