@@ -366,7 +366,18 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # Read under a metadata-STRIPPED schema: the files carry pandas
+    # schema metadata, which makes pa.Schema unhashable ("unhashable
+    # type: 'dict'") and triggers Ray's "Failed to hash the schemas"
+    # warning in every block unification downstream (same root cause
+    # as stages/blocking.py::local_dedup).  Stripping at the source
+    # silences it everywhere at zero cost.
+    import pyarrow.parquet as pq
+    path = f"{sf_dir}/{table}.parquet"
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns \
+        else full
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 def documents_model() -> Model:

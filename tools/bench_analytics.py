@@ -126,9 +126,27 @@ def main() -> None:
             "rows": t_lo[k]["rows"],
             "scaling_efficiency": round(eff, 3)}
     print(json.dumps(report))
+    path = "BENCH/scaling_r4_analytics.json"
     if os.path.isdir("BENCH"):
-        with open("BENCH/scaling_r4_analytics.json", "w") as f:
-            json.dump(report, f, indent=1)
+        doc = {"protocol": (
+            "tools/bench_analytics.py — fresh ray.init processes at "
+            f"{CPUS_LO} then {CPUS_HI} CPUs (the calibrated "
+            "within-capacity pair, see BASELINE.md), deterministic "
+            "seeded synthetic input, per-op wall + (t_lo/t_hi)/"
+            f"{CPUS_HI // CPUS_LO}; row counts (and exact quantile "
+            "VALUES) asserted identical across CPU counts"),
+            "runs": []}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+                doc["runs"] = list(prev.get("runs", []))
+            except Exception:
+                pass
+        doc["runs"] = [r for r in doc["runs"]
+                       if r.get("n_rows") != N_ROWS] + [report]
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":
