@@ -763,6 +763,24 @@ def _q_lineitem_quantiles(sf_dir: str):
                                              pa.int64())})
 
 
+def _q_events_props_extract(sf_dir: str):
+    """Vectorized JSON scalar extraction from the events.props payload
+    (one RE2 extract_regex kernel, no per-row Python) — oracle uses
+    DuckDB's REAL json_extract_string, proving the fast path matches
+    true JSON semantics on flat telemetry objects."""
+    from dedupe_api_ray.functions.jsonx import extract_json_int
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "props"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "k": extract_json_int(t["props"], "k")})
+
+    return ev.map_batches(ex, batch_format="pyarrow")
+
+
 def _q_events_type_quantiles(sf_dir: str):
     """Per event_type exact quantiles of value (rank ceil(q*n) within
     the group) — the grouped complement of the global selection
@@ -1563,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": _q_lineitem_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
         "events_type_quantiles": _q_events_type_quantiles,
+        "events_props_extract": _q_events_props_extract,
         "orders_rollup": _q_orders_rollup,
         "customer_anti_orders": _q_customer_anti_orders,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
@@ -2111,6 +2130,10 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_rev_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "events_props_extract": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events""",
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT))
