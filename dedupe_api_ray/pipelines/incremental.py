@@ -44,8 +44,7 @@ import ray
 import ray.data
 
 from dedupe_api_ray.model import Model
-from dedupe_api_ray.utils import (default_num_partitions, round_half_away,
-                                  should_broadcast)
+from dedupe_api_ray.utils import round_half_away, should_broadcast
 
 __all__ = ["incremental_assign", "incremental_partition"]
 
@@ -144,18 +143,13 @@ def incremental_partition(new_records: ray.data.Dataset,
         remainder = new_records.map_batches(drop_assigned,
                                             batch_format="pyarrow")
     else:
-        marks = assigned.map_batches(
-            lambda t: pa.table({
-                "record_id": t["record_id"],
-                "__hit": pa.array(np.ones(len(t), np.int8))}),
-            batch_format="pyarrow")
-        remainder = new_records.join(
-            marks, join_type="left_outer",
-            num_partitions=default_num_partitions(), on=("record_id",))
-        remainder = remainder.map_batches(
-            lambda t: t.filter(pc.is_null(t["__hit"])).drop_columns(
-                ["__hit"]),
-            batch_format="pyarrow")
+        # scale path: Bloom-prefiltered anti join — the unassigned
+        # bulk are definite bloom misses and BYPASS the shuffle, so
+        # the increment's text payload never moves for them; only
+        # possible hits pay the exact membership pass
+        from dedupe_api_ray.stages.semi import anti_join
+        remainder = anti_join(new_records, assigned,
+                              left_on="record_id", prefilter="bloom")
 
     rest = partition(remainder, model, threshold=threshold,
                      metrics=metrics, **partition_kwargs)
