@@ -798,6 +798,50 @@ def _q_events_type_quantiles(sf_dir: str):
                              qs=[0.5, 0.9, 0.99])
 
 
+def _q_q3_top_orders(sf_dir: str):
+    """TPC-H-Q3-style composition: BUILDING customers → their orders
+    (Bloom semi join: non-BUILDING orders bypass the shuffle) → their
+    lineitems (second Bloom semi join) → per-order revenue (map-side
+    partial sums) → exact global top-10 without a full sort."""
+    from ray.data.aggregate import Sum
+
+    from dedupe_api_ray.stages.semi import semi_join
+    from dedupe_api_ray.stages.topk import global_topk
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING")),
+            batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    sel = semi_join(orders, cust, left_on="o_custkey",
+                    right_on="c_custkey", prefilter="bloom")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    sel_li = semi_join(li, sel, left_on="l_orderkey",
+                       right_on="o_orderkey", prefilter="bloom")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}) \
+            .group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev": g["rev_sum"]})
+
+    agg = sel_li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_r(pc.multiply(t["rev"], 100.0), 0), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_cents": cents})
+
+    return global_topk(agg.map_batches(finish, batch_format="pyarrow"),
+                       ["rev_cents", "l_orderkey"], 10,
+                       descending=[True, False])
+
+
 def _q_orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): sum of price
     cents + count at every prefix level with a grouping_id bitmask
@@ -1583,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_quantiles": _q_events_type_quantiles,
         "events_props_extract": _q_events_props_extract,
         "orders_rollup": _q_orders_rollup,
+        "q3_top_orders": _q_q3_top_orders,
         "customer_anti_orders": _q_customer_anti_orders,
         # clustering / canonicalization / gazetteer (G1/G2/G4/M7, J5)
         "cc_components": _q_cc_components,
@@ -2130,6 +2175,17 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_rev_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   cast(round(sum(l_extendedprice * (1 - l_discount))
+                              * 100, 0) AS BIGINT) AS rev_cents
+            FROM lineitem
+            WHERE l_orderkey IN (
+              SELECT o_orderkey FROM orders o
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING')
+            GROUP BY l_orderkey
+            ORDER BY rev_cents DESC, l_orderkey LIMIT 10""",
         "events_props_extract": """
             SELECT event_id, event_type,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
