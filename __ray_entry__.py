@@ -766,8 +766,11 @@ def _q_lineitem_quantiles(sf_dir: str):
 def _q_events_props_extract(sf_dir: str):
     """Vectorized JSON scalar extraction from the events.props payload
     (one RE2 extract_regex kernel, no per-row Python) — oracle uses
-    DuckDB's REAL json_extract_string, proving the fast path matches
-    true JSON semantics on flat telemetry objects."""
+    DuckDB's REAL JSON functions with the engine's exact int contract
+    spelled out (json_type integer + <=18-digit literal ⇒ BIGINT,
+    anything else null), so fixture enrichment with quoted/float/bool
+    values cannot silently diverge.  Flat-object payloads only, per
+    the functions/jsonx.py contract."""
     from dedupe_api_ray.functions.jsonx import extract_json_int
 
     ev = _read(sf_dir, "events",
@@ -2187,9 +2190,17 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
             GROUP BY l_orderkey
             ORDER BY rev_cents DESC, l_orderkey LIMIT 10""",
         "events_props_extract": """
+            WITH j AS (SELECT event_id, event_type,
+                              try_cast(props AS JSON) AS pj FROM events)
             SELECT event_id, event_type,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-            FROM events""",
+                   CASE WHEN json_type(pj, '$.k')
+                             IN ('UBIGINT', 'BIGINT')
+                         AND regexp_matches(
+                               json_extract_string(pj, '$.k'),
+                               '^-?[0-9]{1,18}$')
+                        THEN CAST(json_extract_string(pj, '$.k')
+                                  AS BIGINT) END AS k
+            FROM j""",
         "orders_rollup": """
             SELECT o_orderstatus, o_orderpriority,
                    cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT))

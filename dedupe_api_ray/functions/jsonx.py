@@ -24,11 +24,12 @@ from __future__ import annotations
 import json
 import re
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_INT_RE = r"^-?[0-9]+$"
+# <= 18 digits: always inside int64, so the Arrow cast can never throw
+# (a 19-digit literal can overflow; such values return null instead)
+_INT_RE = r"^-?[0-9]{1,18}$"
 
 
 def _raw(col: pa.ChunkedArray | pa.Array, key: str):
@@ -41,19 +42,24 @@ def _raw(col: pa.ChunkedArray | pa.Array, key: str):
 
 def extract_json_string(col: pa.ChunkedArray | pa.Array,
                         key: str) -> pa.ChunkedArray | pa.Array:
-    """The key's scalar value as a string (numbers/booleans come back
-    as their literal text, like DuckDB ``json_extract_string``; a JSON
-    ``null`` value yields the string 'null').  Missing key or
-    null/unparseable row → null."""
+    """The key's scalar value as a string — DuckDB
+    ``json_extract_string`` semantics: numbers/booleans come back as
+    their literal text, and a JSON ``null`` value yields SQL null
+    (exactly like a missing key — the same collapse DuckDB and the
+    ``JsonParseRows`` fallback make).  Null/unparseable row → null."""
     valid, js, jv = _raw(col, key)
-    out = pc.if_else(pc.equal(pc.fill_null(jv, ""), ""), js, jv)
-    return pc.if_else(valid, out, pa.scalar(None, pa.string()))
+    jvf = pc.fill_null(jv, "")
+    out = pc.if_else(pc.equal(jvf, ""), js, jv)
+    ok = pc.and_(valid, pc.not_equal(jvf, "null"))
+    return pc.if_else(ok, out, pa.scalar(None, pa.string()))
 
 
 def extract_json_int(col: pa.ChunkedArray | pa.Array,
                      key: str) -> pa.ChunkedArray | pa.Array:
     """The key's value as int64; null when the key is absent or the
-    value is not a bare base-10 integer."""
+    value is not a bare base-10 integer of <= 18 digits (longer
+    literals may overflow int64, so they null out rather than risk a
+    batch-killing cast error)."""
     valid, _js, jv = _raw(col, key)
     is_int = pc.match_substring_regex(pc.fill_null(jv, ""), _INT_RE)
     ok = pc.and_(valid, is_int)
@@ -78,6 +84,8 @@ class JsonParseRows:
                 obj = json.loads(v) if v else {}
             except (TypeError, ValueError):
                 obj = {}
+            if not isinstance(obj, dict):
+                obj = {}  # valid non-object JSON ('[1]', '5', 'null')
             for k in self.keys:
                 x = obj.get(k)
                 if x is None:

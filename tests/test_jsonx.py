@@ -36,10 +36,11 @@ def test_extract_json_string_semantics():
     # row 2 has a REAL empty string value — must come back '' not null
     assert got[0] == "hi" and got[2] == "" and got[9] == "with, comma"
     assert got[1] is None and got[7] is None
-    # numbers/booleans/null come back as literal text (DuckDB
-    # json_extract_string semantics)
+    # numbers/booleans come back as literal text; a JSON null value
+    # yields SQL null, like a missing key (DuckDB json_extract_string
+    # semantics — and the JsonParseRows fallback agrees)
     kk = extract_json_string(col, "k").to_pylist()
-    assert kk[0] == "87" and kk[4] == "true" and kk[5] == "null"
+    assert kk[0] == "87" and kk[4] == "true" and kk[5] is None
 
 
 def test_json_parse_rows_fallback_matches_fast_path():
@@ -53,3 +54,15 @@ def test_json_parse_rows_fallback_matches_fast_path():
                    "rid": pa.array([0], pa.int64())})
     out2 = JsonParseRows("props", ["k"])(t2)
     assert out2["props_k"].to_pylist() == ['{"a":[1,2]}']
+
+
+def test_jsonx_hardening():
+    # valid non-object JSON rows must not crash the fallback
+    t = pa.table({"props": pa.array(["[1,2]", "5", '"str"', "null",
+                                     '{"k": 7}']),
+                  "rid": pa.array(range(5), pa.int64())})
+    out = JsonParseRows("props", ["k"])(t)
+    assert out["props_k"].to_pylist() == [None, None, None, None, "7"]
+    # a >18-digit integer nulls out instead of killing the batch
+    big = pa.array(['{"k": 99999999999999999999}', '{"k": 42}'])
+    assert extract_json_int(big, "k").to_pylist() == [None, 42]

@@ -128,13 +128,15 @@ def main() -> None:
     print(json.dumps(report))
     path = "BENCH/scaling_r4_analytics.json"
     if os.path.isdir("BENCH"):
+        # protocol text stays pair-agnostic: each run records its own
+        # "cpus" and its efficiency divisor is cpus[1]/cpus[0]
         doc = {"protocol": (
-            "tools/bench_analytics.py — fresh ray.init processes at "
-            f"{CPUS_LO} then {CPUS_HI} CPUs (the calibrated "
-            "within-capacity pair, see BASELINE.md), deterministic "
+            "tools/bench_analytics.py — fresh ray.init child "
+            "processes at each run's cpus=[lo, hi] (calibrated "
+            "within-capacity pairs, see BASELINE.md), deterministic "
             "seeded synthetic input, per-op wall + (t_lo/t_hi)/"
-            f"{CPUS_HI // CPUS_LO}; row counts (and exact quantile "
-            "VALUES) asserted identical across CPU counts"),
+            "(hi/lo); row counts (and exact quantile VALUES) "
+            "asserted identical across CPU counts"),
             "runs": []}
         if os.path.exists(path):
             try:
@@ -143,8 +145,11 @@ def main() -> None:
                 doc["runs"] = list(prev.get("runs", []))
             except Exception:
                 pass
+        # replace only a rerun of the SAME (size, cpu-pair) config
+        key = (N_ROWS, [CPUS_LO, CPUS_HI])
         doc["runs"] = [r for r in doc["runs"]
-                       if r.get("n_rows") != N_ROWS] + [report]
+                       if (r.get("n_rows"), r.get("cpus")) != key] \
+            + [report]
         with open(path, "w") as f:
             json.dump(doc, f, indent=1)
 
