@@ -34,11 +34,29 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from dedupe_api_ray.stages.asof import (_arrow_schema, _sort_key_ints,
-                                        _tag_partition)
+import pandas as pd
+
+from dedupe_api_ray.stages.asof import (_arrow_schema, _norm_key_array,
+                                        _sort_key_ints)
 
 
-def _window_partition(g: pa.Table, key: str, order_by: list[str],
+def _multi_part_ids(t: pa.Table, keys: list[str],
+                    n_parts: int) -> np.ndarray:
+    """Deterministic partition id over a COMPOSITE key: per-column
+    ``pd.util.hash_array`` (the join family's hash) folded with an
+    FNV-prime multiply so distinct tuples scatter even when single
+    columns collide."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for c in keys:
+        hc = pd.util.hash_array(_norm_key_array(t[c], t[c].type),
+                                categorize=False)
+        with np.errstate(over="ignore"):
+            h = pd.util.hash_array(h * np.uint64(1099511628211) ^ hc,
+                                   categorize=False)
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def _window_partition(g: pa.Table, keys: list[str], order_by: list[str],
                       out_cols: list[str], row_number: str | None,
                       lag: dict[str, str], cumsum: dict[str, str],
                       rank: str | None = None,
@@ -46,19 +64,23 @@ def _window_partition(g: pa.Table, key: str, order_by: list[str],
                       lead: dict[str, str] | None = None) -> pa.Table:
     lead = lead or {}
     n = g.num_rows
-    for c in (key, *order_by):
+    for c in (*keys, *order_by):
         if g[c].null_count:
             raise ValueError(
                 f"window_over: column {c!r} has nulls; partition/order "
                 "columns must be non-null (SQL null ordering is not "
                 "portable) — fill or filter upstream")
-    kc = _sort_key_ints(g[key])
+    kcs = [_sort_key_ints(g[k]) for k in keys]
     ords = [_sort_key_ints(g[c]) for c in order_by]
-    # np.lexsort sorts by the LAST key first → key is primary, then
-    # order_by columns left-to-right
-    order = np.lexsort((*reversed(ords), kc))
-    ks = kc[order]
-    heads = np.r_[True, ks[1:] != ks[:-1]] if n else np.zeros(0, bool)
+    # np.lexsort sorts by the LAST key first → keys are primary
+    # (left-to-right), then order_by columns left-to-right
+    order = np.lexsort((*reversed(ords), *reversed(kcs)))
+    heads = np.zeros(n, dtype=bool)
+    if n:
+        heads[0] = True
+        for kc in kcs:
+            ks = kc[order]
+            heads[1:] |= ks[1:] != ks[:-1]
     starts = np.flatnonzero(heads)
     seg_len = np.diff(np.r_[starts, n])
     base = np.repeat(starts, seg_len)  # segment-head index, per row
@@ -109,7 +131,7 @@ def _window_partition(g: pa.Table, key: str, order_by: list[str],
     return pa.table(cols)
 
 
-def window_over(ds: ray.data.Dataset, *, partition_by: str,
+def window_over(ds: ray.data.Dataset, *, partition_by: str | list[str],
                 order_by: list[str], row_number: str | None = None,
                 lag: dict[str, str] | None = None,
                 cumsum: dict[str, str] | None = None,
@@ -118,9 +140,11 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
                 lead: dict[str, str] | None = None,
                 num_partitions: int | None = None) -> ray.data.Dataset:
     """Append window columns computed over
-    ``PARTITION BY partition_by ORDER BY *order_by`` (ties beyond the
-    given order columns do not occur when the last order column is
-    unique — pass a unique id last for fully deterministic output).
+    ``PARTITION BY partition_by ORDER BY *order_by``.  ``partition_by``
+    is one column name or a list (composite key, hashed per-column
+    and folded).  Ties beyond the given order columns do not occur
+    when the last order column is unique — pass a unique id last for
+    fully deterministic output.
 
     ``row_number``: output column name for the 1-based position.
     ``rank`` / ``dense_rank``: SQL RANK() / DENSE_RANK() — unlike
@@ -132,6 +156,10 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
     Output carries every input column plus the window columns.
     """
     from dedupe_api_ray.utils import shuffle_partitions
+    keys = [partition_by] if isinstance(partition_by, str) \
+        else list(partition_by)
+    if not keys:
+        raise ValueError("window_over: partition_by is empty")
     lag = dict(lag or {})
     lead = dict(lead or {})
     cumsum = dict(cumsum or {})
@@ -145,17 +173,18 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str,
     if clash:
         raise ValueError(f"window_over: output columns {clash} already "
                          "exist on the input")
-    for src in (partition_by, *lag.values(), *lead.values(),
+    for src in (*keys, *lag.values(), *lead.values(),
                 *cumsum.values(), *order_by):
         if src not in out_cols:
             raise ValueError(f"window_over: no such column {src!r}")
 
     def tag(t: pa.Table) -> pa.Table:
-        return _tag_partition(t.select(out_cols), 0, partition_by,
-                              n_parts)
+        t = t.select(out_cols)
+        part = _multi_part_ids(t, keys, n_parts)
+        return t.append_column("__part", pa.array(part, pa.int64()))
 
     def kernel(g: pa.Table) -> pa.Table:
-        return _window_partition(g, partition_by, order_by, out_cols,
+        return _window_partition(g, keys, order_by, out_cols,
                                  row_number, lag, cumsum, rank,
                                  dense_rank, lead)
 

@@ -129,3 +129,25 @@ def test_window_unknown_partition_key_raises_early(ray_session):
     with pytest.raises(ValueError, match="no such column"):
         window_over(ds, partition_by="kk", order_by=["o"],
                     row_number="rn")
+
+
+def test_window_composite_partition_key(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({"a": rng.integers(0, 5, 600),
+                       "b": rng.choice(list("xyz"), 600),
+                       "o": rng.integers(0, 1000, 600),
+                       "uid": np.arange(600)})
+    got = window_over(ray.data.from_pandas(df),
+                      partition_by=["a", "b"], order_by=["o", "uid"],
+                      row_number="rn", cumsum={"run_o": "o"}) \
+        .to_pandas().sort_values("uid").reset_index(drop=True)
+    srt = df.sort_values(["a", "b", "o", "uid"])
+    grp = srt.groupby(["a", "b"], sort=False)
+    want = srt.copy()
+    want["rn"] = grp.cumcount() + 1
+    want["run_o"] = grp["o"].cumsum()
+    want = want.sort_values("uid").reset_index(drop=True)
+    np.testing.assert_array_equal(got["rn"], want["rn"])
+    np.testing.assert_array_equal(got["run_o"], want["run_o"])
