@@ -57,6 +57,10 @@ def _to_keys(vals: np.ndarray) -> np.ndarray:
         return np.where(neg, ~b, b | _MSB)
     if np.issubdtype(vals.dtype, np.integer):
         return vals.astype(np.int64).view(np.uint64) ^ _MSB
+    if np.issubdtype(vals.dtype, np.datetime64):
+        # ticks order identically to instants (unit is uniform within
+        # a column)
+        return vals.astype(np.int64).view(np.uint64) ^ _MSB
     raise TypeError(f"exact_quantiles: unsupported dtype {vals.dtype}")
 
 
@@ -112,8 +116,13 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
         raise ValueError("exact_quantiles: each q must be in (0, 1]")
     n_parts = shuffle_partitions(num_partitions)
     from dedupe_api_ray.stages.asof import _arrow_schema
-    floating = pa.types.is_floating(_arrow_schema(ds).field(col).type)
-    val_type = pa.float64() if floating else pa.int64()
+    col_type = _arrow_schema(ds).field(col).type
+    floating = pa.types.is_floating(col_type)
+    # temporal columns select in int64 tick space and cast back at the
+    # end, so the result column keeps the input timestamp/date type
+    temporal = pa.types.is_temporal(col_type)
+    val_type = pa.float64() if floating else \
+        (col_type if temporal else pa.int64())
 
     hist = _hist_pass(ds, col, 48, None, n_parts)
     total = sum(hist.values())

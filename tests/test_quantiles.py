@@ -136,3 +136,21 @@ def test_grouped_quantiles_nan_guard(ray_session):
         "v": pa.array([1.0, float("nan")], pa.float64())}))
     with pytest.raises(Exception, match="NaN"):
         grouped_quantiles(ds, key="k", col="v", qs=[0.5]).to_pandas()
+
+
+def test_quantiles_temporal_column(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dedupe_api_ray.stages.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(31)
+    ticks = np.sort(rng.integers(0, 10**12, 999))
+    ts = ticks.astype("datetime64[us]")
+    ds = ray.data.from_arrow(pa.table(
+        {"ts": pa.array(ts, pa.timestamp("us"))}))
+    out = exact_quantiles(ds, "ts", [0.25, 0.5, 1.0])
+    assert out["value"].type == pa.timestamp("us")
+    got = out["value"].to_numpy(zero_copy_only=False)
+    want = [ts[int(np.ceil(q * 999)) - 1] for q in (0.25, 0.5, 1.0)]
+    np.testing.assert_array_equal(got, np.array(want))
