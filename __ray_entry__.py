@@ -763,6 +763,20 @@ def _q_lineitem_quantiles(sf_dir: str):
                                              pa.int64())})
 
 
+def _q_events_type_quantiles_cont(sf_dir: str):
+    """Linear-interpolated (SQL quantile_cont) per-type quantiles of
+    value — the oracle replays the EXACT interpolation expression
+    (v_lo + (h-lo)*(v_hi-v_lo), h = q*(n-1)) instead of calling
+    quantile_cont, whose internal expression order is unspecified."""
+    from dedupe_api_ray.stages.quantiles import grouped_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"]) \
+        .map_batches(lambda t: t.filter(pc.is_valid(t["value"])),
+                     batch_format="pyarrow")
+    return grouped_quantiles(ev, key="event_type", col="value",
+                             qs=[0.5, 0.9], interpolation="linear")
+
+
 def _q_events_props_extract(sf_dir: str):
     """Vectorized JSON scalar extraction from the events.props payload
     (one RE2 extract_regex kernel, no per-row Python) — oracle uses
@@ -1628,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_quantiles": _q_lineitem_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
         "events_type_quantiles": _q_events_type_quantiles,
+        "events_type_quantiles_cont": _q_events_type_quantiles_cont,
         "events_props_extract": _q_events_props_extract,
         "orders_rollup": _q_orders_rollup,
         "q3_top_orders": _q_q3_top_orders,
@@ -2178,6 +2193,29 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS sum_rev_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "events_type_quantiles_cont": """
+            WITH r AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS c
+              FROM events WHERE value IS NOT NULL
+            ), qs AS (SELECT unnest([0.5, 0.9]) AS q),
+            b AS (
+              SELECT g.event_type, cast(q AS DOUBLE) AS q, g.c,
+                     cast(q AS DOUBLE) * (g.c - 1) AS h,
+                     cast(floor(cast(q AS DOUBLE) * (g.c - 1))
+                          AS BIGINT) AS lo
+              FROM (SELECT DISTINCT event_type, c FROM r) g, qs
+            )
+            SELECT b.event_type, b.q,
+                   round(vlo.value + (b.h - b.lo)
+                         * (vhi.value - vlo.value), 6) AS value
+            FROM b
+            JOIN r vlo ON vlo.event_type = b.event_type
+                      AND vlo.rn = b.lo + 1
+            JOIN r vhi ON vhi.event_type = b.event_type
+                      AND vhi.rn = least(b.lo + 2, b.c)""",
         "q3_top_orders": """
             SELECT l_orderkey,
                    cast(round(sum(l_extendedprice * (1 - l_discount))

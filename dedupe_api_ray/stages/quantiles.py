@@ -189,7 +189,8 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
 
 
 def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
-                                qs: list[float]) -> pa.Table:
+                                qs: list[float],
+                                interpolation: str = "rank") -> pa.Table:
     """One lexsort + segment arithmetic: for every key in the
     partition and every q, the rank-ceil(q*n_valid) element of the
     key's non-null values (null when the key has only nulls)."""
@@ -221,22 +222,52 @@ def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
     seg_len = np.diff(np.r_[starts, n])
     n_valid = np.add.reduceat(va.astype(np.int64), starts) if n \
         else np.zeros(0, np.int64)
-    out_key, out_q, out_idx = [], [], []
-    for q in qs:
-        ranks = np.ceil(q * n_valid).astype(np.int64)
-        idx = starts + np.maximum(ranks, 1) - 1   # clamped; masked below
-        out_key.append(starts)
-        out_q.append(np.full(len(starts), q))
-        out_idx.append(np.where(n_valid > 0, idx, -1))
-    key_take = pa.array(np.concatenate(out_key) if out_key else [],
-                        pa.int64())
-    idx_all = np.concatenate(out_idx) if out_idx else \
-        np.zeros(0, np.int64)
-    ok = idx_all >= 0
-    val_take = g[col].take(pa.array(order[np.where(ok, idx_all, 0)],
-                                    pa.int64()))
-    val_out = pc.if_else(pa.array(ok), val_take,
-                         pa.scalar(None, type=val_take.type))
+    if interpolation == "linear":
+        from dedupe_api_ray.utils import round_half_away
+        if not np.issubdtype(vals.dtype, np.number):
+            raise TypeError("grouped_quantiles: interpolation='linear' "
+                            f"needs a numeric column, got {vals.dtype}")
+        vf = np.zeros(n, dtype=np.float64)
+        if n:
+            vf = vals[order].astype(np.float64)  # nulls→NaN, never read
+        out_key, out_q, out_val, out_ok = [], [], [], []
+        for q in qs:
+            # SQL quantile_cont replay: h = q*(n-1); value =
+            # v[lo] + (h - lo) * (v[hi] - v[lo]), hi clamped at the
+            # segment end — IDENTICAL expression order to the oracle
+            h = q * (n_valid - 1).astype(np.float64)
+            lo = np.floor(h).astype(np.int64)
+            hi = np.minimum(lo + 1, np.maximum(n_valid - 1, 0))
+            okq = n_valid > 0
+            ilo = starts + np.where(okq, lo, 0)
+            ihi = starts + np.where(okq, hi, 0)
+            v = vf[ilo] + (h - lo) * (vf[ihi] - vf[ilo])
+            out_key.append(starts)
+            out_q.append(np.full(len(starts), q))
+            out_val.append(round_half_away(v, 6))
+            out_ok.append(okq)
+        ok = np.concatenate(out_ok) if out_ok else np.zeros(0, bool)
+        vals_all = np.concatenate(out_val) if out_val else \
+            np.zeros(0, np.float64)
+        val_out = pc.if_else(
+            pa.array(ok),
+            pa.array(np.where(ok, vals_all, 0.0), pa.float64()),
+            pa.scalar(None, pa.float64()))
+    else:
+        out_key, out_q, out_idx = [], [], []
+        for q in qs:
+            ranks = np.ceil(q * n_valid).astype(np.int64)
+            idx = starts + np.maximum(ranks, 1) - 1  # clamped; masked
+            out_key.append(starts)
+            out_q.append(np.full(len(starts), q))
+            out_idx.append(np.where(n_valid > 0, idx, -1))
+        idx_all = np.concatenate(out_idx) if out_idx else \
+            np.zeros(0, np.int64)
+        ok = idx_all >= 0
+        val_take = g[col].take(pa.array(order[np.where(ok, idx_all, 0)],
+                                        pa.int64()))
+        val_out = pc.if_else(pa.array(ok), val_take,
+                             pa.scalar(None, type=val_take.type))
     return pa.table({key: g[key].take(pa.array(order[
         np.concatenate(out_key)] if out_key else [], pa.int64())),
         "q": pa.array(np.concatenate(out_q) if out_q else [],
@@ -246,26 +277,36 @@ def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
 
 def grouped_quantiles(ds: ray.data.Dataset, *, key: str, col: str,
                       qs: list[float],
+                      interpolation: str = "rank",
                       num_partitions: int | None = None
                       ) -> ray.data.Dataset:
-    """Per-key exact quantiles: for each key and each q, the rank
-    ``ceil(q * n)`` order statistic of the key's non-null ``col``
-    values (one output row per key per q; null value when the key has
-    only nulls).  ONE hash shuffle by key, one lexsort kernel per
-    partition — the grouped complement of ``exact_quantiles``.
-    Partitioning assumption: one key's rows fit in one partition (the
-    same assumption as the join/window family)."""
+    """Per-key exact quantiles over the key's non-null ``col`` values
+    (one output row per key per q; null value when the key has only
+    nulls).  ``interpolation="rank"`` (default): the rank-``ceil(q*n)``
+    order statistic, exact in the input type.
+    ``interpolation="linear"``: SQL ``quantile_cont`` semantics —
+    ``h = q*(n-1)``, ``v[lo] + (h-lo)*(v[hi]-v[lo])`` — numeric
+    columns only, float64 result rounded half-away at 6 dp (the exact
+    expression a SQL oracle replays).  ONE hash shuffle by key, one
+    lexsort kernel per partition — the grouped complement of
+    ``exact_quantiles``.  Partitioning assumption: one key's rows fit
+    in one partition (the same assumption as the join/window
+    family)."""
     from dedupe_api_ray.stages.asof import _tag_partition
     from dedupe_api_ray.utils import shuffle_partitions
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("grouped_quantiles: each q must be in (0, 1]")
+    if interpolation not in ("rank", "linear"):
+        raise ValueError(
+            f"grouped_quantiles: unknown interpolation {interpolation!r}")
     n_parts = shuffle_partitions(num_partitions)
 
     def tag(t: pa.Table) -> pa.Table:
         return _tag_partition(t.select([key, col]), 0, key, n_parts)
 
     def kernel(g: pa.Table) -> pa.Table:
-        return _grouped_quantile_partition(g, key, col, list(qs))
+        return _grouped_quantile_partition(g, key, col, list(qs),
+                                           interpolation)
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__part", num_partitions=n_parts) \

@@ -154,3 +154,35 @@ def test_quantiles_temporal_column(ray_session):
     got = out["value"].to_numpy(zero_copy_only=False)
     want = [ts[int(np.ceil(q * 999)) - 1] for q in (0.25, 0.5, 1.0)]
     np.testing.assert_array_equal(got, np.array(want))
+
+
+def test_grouped_quantiles_linear_matches_numpy(ray_session):
+    import ray.data
+
+    from dedupe_api_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({"k": rng.integers(0, 12, 2400),
+                       "v": rng.normal(0, 50, 2400)})
+    qs = [0.1, 0.5, 0.9]
+    got = grouped_quantiles(ray.data.from_pandas(df), key="k", col="v",
+                            qs=qs, interpolation="linear").to_pandas()
+    for _, row in got.iterrows():
+        want = np.percentile(
+            df.loc[df["k"] == row["k"], "v"].to_numpy(), row["q"] * 100,
+            method="linear")
+        assert abs(row["value"] - want) < 1.5e-6  # engine rounds at 6dp
+
+    # single-value key: linear collapses to the value itself
+    one = pd.DataFrame({"k": [1], "v": [7.25]})
+    g1 = grouped_quantiles(ray.data.from_pandas(one), key="k", col="v",
+                           qs=[0.5], interpolation="linear").to_pandas()
+    assert g1["value"].iloc[0] == 7.25
+    import pytest as _pt
+    s = pd.DataFrame({"k": [1], "v": ["x"]})
+    with _pt.raises(Exception, match="numeric"):
+        grouped_quantiles(ray.data.from_pandas(s), key="k", col="v",
+                          qs=[0.5], interpolation="linear").to_pandas()
+    with _pt.raises(ValueError, match="interpolation"):
+        grouped_quantiles(ray.data.from_pandas(one), key="k", col="v",
+                          qs=[0.5], interpolation="cubic")
