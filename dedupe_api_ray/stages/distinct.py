@@ -33,47 +33,63 @@ import ray.data
 from dedupe_api_ray.stages.asof import _sort_key_ints, _tag_partition
 
 
-def _distinct_partition(g: pa.Table, key: str, col: str,
+def _distinct_partition(g: pa.Table, keys: list[str], col: str,
                         n_rows: str, n_distinct: str) -> pa.Table:
     n = g.num_rows
-    kc = _sort_key_ints(g[key])
+    kcs = [_sort_key_ints(g[k]) for k in keys]
     cv = g[col].to_numpy(zero_copy_only=False)
     codes, _ = pd.factorize(cv, sort=False)  # nulls → -1
     cnt = g["__n"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((codes, kc))
-    ks, cs, ns = kc[order], codes[order], cnt[order]
-    key_head = np.r_[True, ks[1:] != ks[:-1]] if n else np.zeros(0, bool)
-    pair_head = (np.r_[True, (ks[1:] != ks[:-1]) | (cs[1:] != cs[:-1])]
-                 if n else np.zeros(0, bool))
+    order = np.lexsort((codes, *reversed(kcs)))
+    cs, ns = codes[order], cnt[order]
+    key_head = np.zeros(n, dtype=bool)
+    if n:
+        key_head[0] = True
+        for kc in kcs:
+            ks = kc[order]
+            key_head[1:] |= ks[1:] != ks[:-1]
+    pair_head = key_head.copy()
+    if n:
+        pair_head[1:] |= cs[1:] != cs[:-1]
     starts = np.flatnonzero(key_head)
     rows = np.add.reduceat(ns, starts) if n else np.zeros(0, np.int64)
     dv = (pair_head & (cs >= 0)).astype(np.int64)
     dist = np.add.reduceat(dv, starts) if n else np.zeros(0, np.int64)
     take = pa.array(order[starts], pa.int64())
-    return pa.table({key: g[key].take(take),
-                     n_rows: pa.array(rows.astype(np.int64), pa.int64()),
-                     n_distinct: pa.array(dist, pa.int64())})
+    out = {k: g[k].take(take) for k in keys}
+    out[n_rows] = pa.array(rows.astype(np.int64), pa.int64())
+    out[n_distinct] = pa.array(dist, pa.int64())
+    return pa.table(out)
 
 
-def grouped_distinct_count(ds: ray.data.Dataset, *, key: str, col: str,
+def grouped_distinct_count(ds: ray.data.Dataset, *,
+                           key: str | list[str], col: str,
                            n_rows: str = "n_rows",
                            n_distinct: str = "n_distinct",
                            num_partitions: int | None = None
                            ) -> ray.data.Dataset:
-    """Per key: total row count and exact distinct count of ``col``
-    (nulls excluded from the distinct, counted in the total)."""
+    """Per key (one column or a composite list): total row count and
+    exact distinct count of ``col`` (nulls excluded from the distinct,
+    counted in the total)."""
     from dedupe_api_ray.utils import shuffle_partitions
+    keys = [key] if isinstance(key, str) else list(key)
     n_parts = shuffle_partitions(num_partitions)
 
     def combine(t: pa.Table) -> pa.Table:
         ones = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
-        g = pa.table({key: t[key], col: t[col], "__n": ones}) \
-            .group_by([key, col]).aggregate([("__n", "sum")])
-        out = pa.table({key: g[key], col: g[col], "__n": g["__n_sum"]})
-        return _tag_partition(out, 0, key, n_parts)
+        g = pa.table({**{k: t[k] for k in keys}, col: t[col],
+                      "__n": ones}) \
+            .group_by([*keys, col]).aggregate([("__n", "sum")])
+        out = pa.table({**{k: g[k] for k in keys}, col: g[col],
+                        "__n": g["__n_sum"]})
+        if len(keys) == 1:
+            return _tag_partition(out, 0, keys[0], n_parts)
+        from dedupe_api_ray.stages.windows import _multi_part_ids
+        part = _multi_part_ids(out, keys, n_parts)
+        return out.append_column("__part", pa.array(part, pa.int64()))
 
     def kernel(g: pa.Table) -> pa.Table:
-        return _distinct_partition(g, key, col, n_rows, n_distinct)
+        return _distinct_partition(g, keys, col, n_rows, n_distinct)
 
     return ds.map_batches(combine, batch_format="pyarrow") \
         .groupby("__part", num_partitions=n_parts) \

@@ -188,15 +188,16 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
                      "value": pa.array(values, val_type)})
 
 
-def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
+def _grouped_quantile_partition(g: pa.Table, keys: list[str], col: str,
                                 qs: list[float],
                                 interpolation: str = "rank") -> pa.Table:
-    """One lexsort + segment arithmetic: for every key in the
-    partition and every q, the rank-ceil(q*n_valid) element of the
-    key's non-null values (null when the key has only nulls)."""
+    """One lexsort + segment arithmetic: for every (composite) key in
+    the partition and every q, the rank-ceil(q*n_valid) element (or
+    linear interpolation) of the key's non-null values (null when the
+    key has only nulls)."""
     from dedupe_api_ray.stages.asof import _sort_key_ints
     n = g.num_rows
-    kc = _sort_key_ints(g[key])
+    kcs = [_sort_key_ints(g[k]) for k in keys]
     valid = pc.is_valid(g[col]).to_numpy(zero_copy_only=False)
     vals = g[col].to_numpy(zero_copy_only=False)
     # same contract as exact_quantiles: a true NaN VALUE (valid, not
@@ -215,9 +216,14 @@ def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
         import pandas as pd
         codes, _ = pd.factorize(vv, sort=True)
         vc[valid] = codes
-    order = np.lexsort((vc, kc))
-    ks, va = kc[order], valid[order]
-    heads = np.r_[True, ks[1:] != ks[:-1]] if n else np.zeros(0, bool)
+    order = np.lexsort((vc, *reversed(kcs)))
+    va = valid[order]
+    heads = np.zeros(n, dtype=bool)
+    if n:
+        heads[0] = True
+        for kc in kcs:
+            ks = kc[order]
+            heads[1:] |= ks[1:] != ks[:-1]
     starts = np.flatnonzero(heads)
     seg_len = np.diff(np.r_[starts, n])
     n_valid = np.add.reduceat(va.astype(np.int64), starts) if n \
@@ -268,19 +274,22 @@ def _grouped_quantile_partition(g: pa.Table, key: str, col: str,
                                         pa.int64()))
         val_out = pc.if_else(pa.array(ok), val_take,
                              pa.scalar(None, type=val_take.type))
-    return pa.table({key: g[key].take(pa.array(order[
-        np.concatenate(out_key)] if out_key else [], pa.int64())),
+    key_take = pa.array(order[np.concatenate(out_key)] if out_key
+                        else [], pa.int64())
+    return pa.table({
+        **{k: g[k].take(key_take) for k in keys},
         "q": pa.array(np.concatenate(out_q) if out_q else [],
                       pa.float64()),
         "value": val_out})
 
 
-def grouped_quantiles(ds: ray.data.Dataset, *, key: str, col: str,
-                      qs: list[float],
+def grouped_quantiles(ds: ray.data.Dataset, *, key: str | list[str],
+                      col: str, qs: list[float],
                       interpolation: str = "rank",
                       num_partitions: int | None = None
                       ) -> ray.data.Dataset:
-    """Per-key exact quantiles over the key's non-null ``col`` values
+    """Per-key (one column or a composite list) exact quantiles over
+    the key's non-null ``col`` values
     (one output row per key per q; null value when the key has only
     nulls).  ``interpolation="rank"`` (default): the rank-``ceil(q*n)``
     order statistic, exact in the input type.
@@ -299,13 +308,19 @@ def grouped_quantiles(ds: ray.data.Dataset, *, key: str, col: str,
     if interpolation not in ("rank", "linear"):
         raise ValueError(
             f"grouped_quantiles: unknown interpolation {interpolation!r}")
+    keys = [key] if isinstance(key, str) else list(key)
     n_parts = shuffle_partitions(num_partitions)
 
     def tag(t: pa.Table) -> pa.Table:
-        return _tag_partition(t.select([key, col]), 0, key, n_parts)
+        t = t.select([*keys, col])
+        if len(keys) == 1:
+            return _tag_partition(t, 0, keys[0], n_parts)
+        from dedupe_api_ray.stages.windows import _multi_part_ids
+        part = _multi_part_ids(t, keys, n_parts)
+        return t.append_column("__part", pa.array(part, pa.int64()))
 
     def kernel(g: pa.Table) -> pa.Table:
-        return _grouped_quantile_partition(g, key, col, list(qs),
+        return _grouped_quantile_partition(g, keys, col, list(qs),
                                            interpolation)
 
     return ds.map_batches(tag, batch_format="pyarrow") \

@@ -44,3 +44,19 @@ def test_distinct_count_null_semantics(ray_session):
         .set_index("k").sort_index()
     assert list(got["n_rows"]) == [4, 1]
     assert list(got["n_distinct"]) == [2, 0]
+
+
+def test_distinct_count_composite_key(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"a": rng.integers(0, 6, 1500),
+                       "b": rng.choice(list("pq"), 1500),
+                       "v": rng.integers(0, 40, 1500)})
+    got = grouped_distinct_count(ray.data.from_pandas(df),
+                                 key=["a", "b"], col="v").to_pandas() \
+        .set_index(["a", "b"]).sort_index()
+    want = df.groupby(["a", "b"]).agg(n_rows=("v", "size"),
+                                      n_distinct=("v", "nunique"))
+    np.testing.assert_array_equal(got["n_rows"], want["n_rows"])
+    np.testing.assert_array_equal(got["n_distinct"], want["n_distinct"])

@@ -186,3 +186,21 @@ def test_grouped_quantiles_linear_matches_numpy(ray_session):
     with _pt.raises(ValueError, match="interpolation"):
         grouped_quantiles(ray.data.from_pandas(one), key="k", col="v",
                           qs=[0.5], interpolation="cubic")
+
+
+def test_grouped_quantiles_composite_key(ray_session):
+    import ray.data
+
+    from dedupe_api_ray.stages.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"a": rng.integers(0, 4, 1200),
+                       "b": rng.integers(0, 3, 1200),
+                       "v": rng.normal(0, 10, 1200)})
+    got = grouped_quantiles(ray.data.from_pandas(df), key=["a", "b"],
+                            col="v", qs=[0.5]).to_pandas()
+    assert len(got) == 12
+    for _, row in got.iterrows():
+        s = np.sort(df.loc[(df["a"] == row["a"]) & (df["b"] == row["b"]),
+                           "v"].to_numpy())
+        assert row["value"] == s[int(np.ceil(0.5 * len(s))) - 1]
