@@ -95,6 +95,51 @@ def _norm_key_array(col: pa.ChunkedArray | pa.Array,
     return col.to_numpy(zero_copy_only=False)
 
 
+def _multi_part_ids(t: pa.Table, keys: list[str],
+                    n_parts: int) -> np.ndarray:
+    """Deterministic partition id over a COMPOSITE key: per-column
+    ``pd.util.hash_array`` (the join family's hash) folded with an
+    FNV-prime multiply so distinct tuples scatter even when single
+    columns collide.  The first column's hash seeds the fold directly,
+    so the single-key cost is exactly one hash pass."""
+    h: np.ndarray | None = None
+    for c in keys:
+        hc = pd.util.hash_array(_norm_key_array(t[c], t[c].type),
+                                categorize=False)
+        if h is None:
+            h = hc
+        else:
+            with np.errstate(over="ignore"):
+                h = pd.util.hash_array(h * np.uint64(1099511628211) ^ hc,
+                                       categorize=False)
+    assert h is not None, "keys must be non-empty"
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def _tag_partition_keys(t: pa.Table, keys: list[str],
+                        n_parts: int) -> pa.Table:
+    """Append a __part tag for a single- or composite-key shuffle
+    (no __side — for the grouped-kernel family: windows, grouped
+    quantiles, grouped distinct count)."""
+    part = _multi_part_ids(t, keys, n_parts)
+    return t.append_column("__part", pa.array(part, pa.int64()))
+
+
+def _composite_heads(kcs: list[np.ndarray], order: np.ndarray,
+                     n: int) -> np.ndarray:
+    """Segment-head flags after a lexsort: True where ANY key column
+    changes from the previous sorted row (equal tuples are adjacent
+    after the lexsort, so per-column OR is exact).  Shared by the
+    window/quantile/distinct kernels."""
+    heads = np.zeros(n, dtype=bool)
+    if n:
+        heads[0] = True
+        for kc in kcs:
+            ks = kc[order]
+            heads[1:] |= ks[1:] != ks[:-1]
+    return heads
+
+
 def _tag_partition(t: pa.Table, side: int, key_col: str,
                    n_parts: int) -> pa.Table:
     """Append __part/__side for the union-then-shuffle join family

@@ -30,7 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from dedupe_api_ray.stages.asof import _sort_key_ints, _tag_partition
+from dedupe_api_ray.stages.asof import (_composite_heads, _sort_key_ints,
+                                        _tag_partition_keys)
 
 
 def _distinct_partition(g: pa.Table, keys: list[str], col: str,
@@ -42,12 +43,7 @@ def _distinct_partition(g: pa.Table, keys: list[str], col: str,
     cnt = g["__n"].to_numpy(zero_copy_only=False)
     order = np.lexsort((codes, *reversed(kcs)))
     cs, ns = codes[order], cnt[order]
-    key_head = np.zeros(n, dtype=bool)
-    if n:
-        key_head[0] = True
-        for kc in kcs:
-            ks = kc[order]
-            key_head[1:] |= ks[1:] != ks[:-1]
+    key_head = _composite_heads(kcs, order, n)
     pair_head = key_head.copy()
     if n:
         pair_head[1:] |= cs[1:] != cs[:-1]
@@ -73,6 +69,8 @@ def grouped_distinct_count(ds: ray.data.Dataset, *,
     counted in the total)."""
     from dedupe_api_ray.utils import shuffle_partitions
     keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("grouped_distinct_count: key list is empty")
     n_parts = shuffle_partitions(num_partitions)
 
     def combine(t: pa.Table) -> pa.Table:
@@ -82,11 +80,7 @@ def grouped_distinct_count(ds: ray.data.Dataset, *,
             .group_by([*keys, col]).aggregate([("__n", "sum")])
         out = pa.table({**{k: g[k] for k in keys}, col: g[col],
                         "__n": g["__n_sum"]})
-        if len(keys) == 1:
-            return _tag_partition(out, 0, keys[0], n_parts)
-        from dedupe_api_ray.stages.windows import _multi_part_ids
-        part = _multi_part_ids(out, keys, n_parts)
-        return out.append_column("__part", pa.array(part, pa.int64()))
+        return _tag_partition_keys(out, keys, n_parts)
 
     def kernel(g: pa.Table) -> pa.Table:
         return _distinct_partition(g, keys, col, n_rows, n_distinct)

@@ -118,8 +118,14 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
     from dedupe_api_ray.stages.asof import _arrow_schema
     col_type = _arrow_schema(ds).field(col).type
     floating = pa.types.is_floating(col_type)
-    # temporal columns select in int64 tick space and cast back at the
-    # end, so the result column keeps the input timestamp/date type
+    if pa.types.is_time(col_type):
+        # time32/time64 reach numpy as datetime.time OBJECTS, which
+        # the key transform cannot view as ticks — fail loudly here,
+        # not inside a shuffled task
+        raise TypeError("exact_quantiles: time32/time64 columns are "
+                        "not supported; cast to integer ticks upstream")
+    # timestamp/date/duration columns select in int64 tick space and
+    # cast back at the end, so the result keeps the input type
     temporal = pa.types.is_temporal(col_type)
     val_type = pa.float64() if floating else \
         (col_type if temporal else pa.int64())
@@ -216,14 +222,10 @@ def _grouped_quantile_partition(g: pa.Table, keys: list[str], col: str,
         import pandas as pd
         codes, _ = pd.factorize(vv, sort=True)
         vc[valid] = codes
+    from dedupe_api_ray.stages.asof import _composite_heads
     order = np.lexsort((vc, *reversed(kcs)))
     va = valid[order]
-    heads = np.zeros(n, dtype=bool)
-    if n:
-        heads[0] = True
-        for kc in kcs:
-            ks = kc[order]
-            heads[1:] |= ks[1:] != ks[:-1]
+    heads = _composite_heads(kcs, order, n)
     starts = np.flatnonzero(heads)
     seg_len = np.diff(np.r_[starts, n])
     n_valid = np.add.reduceat(va.astype(np.int64), starts) if n \
@@ -301,7 +303,6 @@ def grouped_quantiles(ds: ray.data.Dataset, *, key: str | list[str],
     ``exact_quantiles``.  Partitioning assumption: one key's rows fit
     in one partition (the same assumption as the join/window
     family)."""
-    from dedupe_api_ray.stages.asof import _tag_partition
     from dedupe_api_ray.utils import shuffle_partitions
     if not qs or any(not (0.0 < q <= 1.0) for q in qs):
         raise ValueError("grouped_quantiles: each q must be in (0, 1]")
@@ -309,15 +310,20 @@ def grouped_quantiles(ds: ray.data.Dataset, *, key: str | list[str],
         raise ValueError(
             f"grouped_quantiles: unknown interpolation {interpolation!r}")
     keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("grouped_quantiles: key list is empty")
+    if interpolation == "linear":
+        # fail driver-side, not inside a shuffled Ray task
+        from dedupe_api_ray.stages.asof import _arrow_schema
+        ct = _arrow_schema(ds).field(col).type
+        if not (pa.types.is_integer(ct) or pa.types.is_floating(ct)):
+            raise TypeError("grouped_quantiles: interpolation='linear' "
+                            f"needs a numeric column, got {ct}")
     n_parts = shuffle_partitions(num_partitions)
 
     def tag(t: pa.Table) -> pa.Table:
-        t = t.select([*keys, col])
-        if len(keys) == 1:
-            return _tag_partition(t, 0, keys[0], n_parts)
-        from dedupe_api_ray.stages.windows import _multi_part_ids
-        part = _multi_part_ids(t, keys, n_parts)
-        return t.append_column("__part", pa.array(part, pa.int64()))
+        from dedupe_api_ray.stages.asof import _tag_partition_keys
+        return _tag_partition_keys(t.select([*keys, col]), keys, n_parts)
 
     def kernel(g: pa.Table) -> pa.Table:
         return _grouped_quantile_partition(g, keys, col, list(qs),

@@ -34,26 +34,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-import pandas as pd
-
-from dedupe_api_ray.stages.asof import (_arrow_schema, _norm_key_array,
-                                        _sort_key_ints)
-
-
-def _multi_part_ids(t: pa.Table, keys: list[str],
-                    n_parts: int) -> np.ndarray:
-    """Deterministic partition id over a COMPOSITE key: per-column
-    ``pd.util.hash_array`` (the join family's hash) folded with an
-    FNV-prime multiply so distinct tuples scatter even when single
-    columns collide."""
-    h = np.zeros(t.num_rows, dtype=np.uint64)
-    for c in keys:
-        hc = pd.util.hash_array(_norm_key_array(t[c], t[c].type),
-                                categorize=False)
-        with np.errstate(over="ignore"):
-            h = pd.util.hash_array(h * np.uint64(1099511628211) ^ hc,
-                                   categorize=False)
-    return (h % np.uint64(n_parts)).astype(np.int64)
+from dedupe_api_ray.stages.asof import (_arrow_schema, _composite_heads,
+                                        _sort_key_ints,
+                                        _tag_partition_keys)
 
 
 def _window_partition(g: pa.Table, keys: list[str], order_by: list[str],
@@ -75,12 +58,7 @@ def _window_partition(g: pa.Table, keys: list[str], order_by: list[str],
     # np.lexsort sorts by the LAST key first → keys are primary
     # (left-to-right), then order_by columns left-to-right
     order = np.lexsort((*reversed(ords), *reversed(kcs)))
-    heads = np.zeros(n, dtype=bool)
-    if n:
-        heads[0] = True
-        for kc in kcs:
-            ks = kc[order]
-            heads[1:] |= ks[1:] != ks[:-1]
+    heads = _composite_heads(kcs, order, n)
     starts = np.flatnonzero(heads)
     seg_len = np.diff(np.r_[starts, n])
     base = np.repeat(starts, seg_len)  # segment-head index, per row
@@ -179,9 +157,7 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str | list[str],
             raise ValueError(f"window_over: no such column {src!r}")
 
     def tag(t: pa.Table) -> pa.Table:
-        t = t.select(out_cols)
-        part = _multi_part_ids(t, keys, n_parts)
-        return t.append_column("__part", pa.array(part, pa.int64()))
+        return _tag_partition_keys(t.select(out_cols), keys, n_parts)
 
     def kernel(g: pa.Table) -> pa.Table:
         return _window_partition(g, keys, order_by, out_cols,
