@@ -342,6 +342,10 @@ def tfidf_search_keys(queries: ray.data.Dataset, index: ray.data.Dataset,
     from dedupe_api_ray.utils import actor_pool
     if concurrency is None:
         concurrency = actor_pool()
+    # materialize ONCE so the size guard's count() is metadata-only and
+    # build_idf/_tfidf_vectors below reuse the executed blocks instead
+    # of re-running the (lazy) upstream pipeline two more times
+    index = index.materialize()
     n_index = index.count()
     if n_index > index_max_rows:
         raise RuntimeError(

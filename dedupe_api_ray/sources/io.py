@@ -42,22 +42,18 @@ def write_entity_map(entity_map: ray.data.Dataset, path: str,
     ``fmt``: parquet (resumable canonical sink), csv or json (the
     reference's result-download formats †).
 
-    Returns the number of rows written, counted from the WRITTEN
-    output (parquet: footer metadata only; csv/json: one re-read of
-    the final files) — never by re-executing the input dataset, whose
-    lazy plan may be an entire scoring pipeline (calling
-    ``entity_map.count()`` after the write would run it twice)."""
-    readers = {"parquet": (entity_map.write_parquet, ray.data.read_parquet),
-               "csv": (entity_map.write_csv, ray.data.read_csv),
-               "json": (entity_map.write_json, ray.data.read_json)}
-    if fmt not in readers:
+    Returns the number of rows written, counted from the dataset the
+    sink streams from: the input is materialized ONCE (so the lazy
+    plan — possibly an entire scoring pipeline — executes exactly
+    once), counted from block metadata (free), then written.  Counting
+    by re-reading the output directory would both re-scan the files
+    and mis-count stale files from a previous run in the same path."""
+    if fmt not in ("parquet", "csv", "json"):
         raise ValueError(f"unknown export format {fmt!r}")
-    write, read = readers[fmt]
-    write(path)
-    try:
-        return read(path).count()
-    except FileNotFoundError:
-        return 0  # zero-row result: the sink wrote no data files
+    mat = entity_map.materialize()
+    n = mat.count()  # metadata-only on a materialized dataset
+    getattr(mat, f"write_{fmt}")(path)
+    return n
 
 
 def write_training(path: str, records: dict[int, dict],

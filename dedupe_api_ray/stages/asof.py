@@ -157,7 +157,22 @@ def _sort_key_ints(col: pa.ChunkedArray) -> np.ndarray:
     Datetimes stay in their NATIVE unit (both sides were cast to the
     left type at tag time, so units agree; converting to us would
     truncate distinct ns timestamps onto one code and make a
-    strictly-later right row look simultaneous)."""
+    strictly-later right row look simultaneous).
+
+    Integer columns are normalized ARROW-side: a nullable int64
+    column's ``to_numpy`` float64-promotes, collapsing distinct keys
+    >= 2^53 onto one value — so nulls are filled with a sentinel in
+    int64 space first, then rank-compressed so the null code (-1)
+    stays distinct from every real value (including a genuine 0)."""
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_temporal(t):
+        iv = pc.fill_null(pc.cast(col, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if not col.null_count:
+            return iv
+        codes = np.unique(iv, return_inverse=True)[1].astype(np.int64)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        return np.where(valid, codes, np.int64(-1))
     vals = col.to_numpy(zero_copy_only=False)
     if np.issubdtype(vals.dtype, np.datetime64):
         return vals.astype(np.int64)  # raw ticks, no unit conversion

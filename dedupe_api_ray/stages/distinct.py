@@ -38,8 +38,15 @@ def _distinct_partition(g: pa.Table, keys: list[str], col: str,
                         n_rows: str, n_distinct: str) -> pa.Table:
     n = g.num_rows
     kcs = [_sort_key_ints(g[k]) for k in keys]
-    cv = g[col].to_numpy(zero_copy_only=False)
-    codes, _ = pd.factorize(cv, sort=False)  # nulls → -1
+    # arrow-side normalization before factorize: nullable int64 would
+    # float64-promote and collapse distinct values >= 2^53 (distinct
+    # undercount); _norm_key_array keeps int64 exact (nulls -> 0,
+    # masked back to -1 here via validity)
+    from dedupe_api_ray.stages.asof import _norm_key_array
+    cv = _norm_key_array(g[col], g[col].type)
+    codes, _ = pd.factorize(cv, sort=False)
+    valid_c = pc.is_valid(g[col]).to_numpy(zero_copy_only=False)
+    codes = np.where(valid_c, codes, -1)  # nulls → -1
     cnt = g["__n"].to_numpy(zero_copy_only=False)
     order = np.lexsort((codes, *reversed(kcs)))
     cs, ns = codes[order], cnt[order]

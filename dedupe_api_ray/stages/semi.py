@@ -73,9 +73,15 @@ def _norm_keys(col: pa.ChunkedArray, target: pa.DataType) -> np.ndarray:
 def _membership_partition(g: pa.Table, key: str, left_cols: list[str],
                           anti: bool) -> pa.Table:
     side = g["__side"].to_numpy(zero_copy_only=False)
-    kv = g[key].to_numpy(zero_copy_only=False)
-    codes, _ = pd.factorize(kv, sort=False)  # nulls → -1
+    # normalize arrow-side BEFORE factorizing: a nullable int64 key's
+    # to_numpy float64-promotes, collapsing distinct keys >= 2^53 onto
+    # one code (false membership); _norm_key_array keeps int64 exact
+    # (nulls -> 0 there, masked back to -1 here via validity)
+    from dedupe_api_ray.stages.asof import _norm_key_array
+    kv = _norm_key_array(g[key], g[key].type)
+    codes, _ = pd.factorize(kv, sort=False)
     valid = pc.is_valid(g[key]).to_numpy(zero_copy_only=False)
+    codes = np.where(valid, codes, -1)  # nulls → -1
     lidx = np.flatnonzero(side == 1)
     right_codes = codes[(side == 0) & valid]
     n_codes = int(codes.max()) + 1 if len(codes) else 0

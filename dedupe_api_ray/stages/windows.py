@@ -53,6 +53,14 @@ def _window_partition(g: pa.Table, keys: list[str], order_by: list[str],
                 f"window_over: column {c!r} has nulls; partition/order "
                 "columns must be non-null (SQL null ordering is not "
                 "portable) — fill or filter upstream")
+        # a float NaN passes the null check but factorizes to code -1
+        # and would silently sort FIRST, diverging from SQL engines
+        # that place NaN last — same loud contract as grouped_quantiles
+        if pa.types.is_floating(g[c].type) and \
+                pc.any(pc.is_nan(g[c])).as_py():
+            raise ValueError(
+                f"window_over: column {c!r} contains NaN; SQL NaN "
+                "ordering is not portable — fill or filter upstream")
     kcs = [_sort_key_ints(g[k]) for k in keys]
     ords = [_sort_key_ints(g[c]) for c in order_by]
     # np.lexsort sorts by the LAST key first → keys are primary
@@ -86,6 +94,10 @@ def _window_partition(g: pa.Table, keys: list[str], order_by: list[str],
         if col.null_count:
             raise ValueError(f"window_over: cumsum source {src!r} has "
                              "nulls; fill upstream")
+        if pa.types.is_floating(col.type) and \
+                pc.any(pc.is_nan(col)).as_py():
+            raise ValueError(f"window_over: cumsum source {src!r} "
+                             "contains NaN; fill upstream")
         x = col.take(take).to_numpy(zero_copy_only=False)
         if not np.issubdtype(x.dtype, np.number):
             raise TypeError(f"window_over: cumsum source {src!r} is "
