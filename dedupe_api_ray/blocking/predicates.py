@@ -21,8 +21,12 @@ from collections.abc import Callable, Iterable
 
 from dedupe_api_ray.functions.text import ngrams, tokens_of
 
-_INT_RE = re.compile(r"\d+")
-_FIRST_INT_RE = re.compile(r"^\d+")
+# ASCII \d (like TOKEN_RE's ASCII \w): Python's unicode \d matches
+# e.g. Arabic-Indic digits that RE2 (pyarrow / DuckDB oracle) and the
+# vectorized emission path (blocking.vectorized) do not — pinning ASCII
+# keeps scalar, vectorized and oracle key sets bit-identical.
+_INT_RE = re.compile(r"\d+", re.ASCII)
+_FIRST_INT_RE = re.compile(r"^\d+", re.ASCII)
 _ALPHANUM_RE = re.compile(r"\w*\d+\w*", re.ASCII)
 _FIRST_TOKEN_RE = re.compile(r"[\w']+", re.ASCII)
 

@@ -13,8 +13,6 @@ run resumes mid-pipeline.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -39,18 +37,24 @@ def add_row_hash(ds: ray.data.Dataset, fields: list[str],
                  out_col: str = "row_hash") -> ray.data.Dataset:
     """M5 †: content hash over the declared fields (post-normalize).
 
-    The key is the FULL 128-bit blake2b digest as a 32-char hex string
-    (birthday bound ~1.8e19 rows — safely past the 1e12-doc target,
-    where a 64-bit key would collide from ~5e9 rows).  A string key
+    The key is 128 bits as a 32-char hex string: TWO independent
+    64-bit keyed hashes (``pandas.util.hash_array`` siphash with two
+    distinct hash keys) of the same injective row encoding (birthday
+    bound ~1.8e19 rows — safely past the 1e12-doc target, where a
+    single 64-bit key would collide from ~5e9 rows).  A string key
     keeps the collapse on Ray-native groupby/join kernels; the 32-byte
     shuffle payload is the price of collision safety.
 
-    Row encoding is built with VECTORIZED Arrow kernels (null-flag +
-    string cast per field, one binary_join_element_wise) — the r3
-    version ran repr() per value per row over the whole corpus; only
-    the final blake2b-per-row loop remains Python (no vectorized
-    128-bit hash exists in numpy/Arrow).  Fields Arrow cannot cast to
-    string (nested lists etc.) fall back to the repr path."""
+    Fully vectorized: the row encoding is Arrow kernels (null-flag +
+    string cast per field, one binary_join_element_wise), the digest
+    is two C-level hash_array passes + one whole-buffer hexlify — the
+    r4 version ran a Python blake2b per row over the whole corpus (the
+    last corpus-wide Python loop, VERDICT r4).  Fields Arrow cannot
+    cast to string (nested lists etc.) fall back to a repr path."""
+    import binascii
+
+    import pandas as pd
+
     def fn(batch: pa.Table) -> pa.Table:
         parts: list = []
         for f in fields:
@@ -71,9 +75,17 @@ def add_row_hash(ds: ray.data.Dataset, fields: list[str],
             parts.append(val)
         joined = pc.binary_join_element_wise(
             *parts, pa.scalar("\x1f", pa.string()))
-        hashes = [hashlib.blake2b(s.encode(), digest_size=16).hexdigest()
-                  for s in joined.to_pylist()]
-        return batch.append_column(out_col, pa.array(hashes, pa.string()))
+        enc = joined.to_numpy(zero_copy_only=False)
+        h1 = pd.util.hash_array(enc, hash_key="dedupe-rowhash-1",
+                                categorize=False)
+        h2 = pd.util.hash_array(enc, hash_key="dedupe-rowhash-2",
+                                categorize=False)
+        buf = np.empty((len(enc), 2), dtype=">u8")
+        buf[:, 0] = h1
+        buf[:, 1] = h2
+        keys = np.frombuffer(binascii.hexlify(buf.tobytes()),
+                             dtype="S32").astype("U32")
+        return batch.append_column(out_col, pa.array(keys, pa.string()))
     return ds.map_batches(fn, batch_format="pyarrow")
 
 

@@ -78,41 +78,69 @@ class Fingerprinter:
     """Actor-pool map_batches callable emitting the blocking map.
 
     State (the model's predicate union) is fetched once per actor from
-    the object store; per batch it evaluates the union per record and
-    explodes to (block_key, record_id) rows, keys tagged
-    ``{pred_index}:{key}`` (reference '{}:{}' tagging †)."""
+    the object store; per batch it evaluates the union and explodes to
+    (block_key, record_id) rows, keys tagged ``{pred_index}:{key}``
+    (reference '{}:{}' tagging †).
+
+    Specs whose predicates have Arrow/numpy emitters run VECTORIZED
+    over the whole batch (``blocking.vectorized``, byte-identical to
+    the scalar ``model._record_keys`` — asserted in tests); the rest
+    (suffixArray, metaphone, set/price/latlong, n-gram fingerprints)
+    fall back to the reference-style per-record loop, restricted to
+    exactly those specs."""
 
     def __init__(self, model_ref):
+        from dedupe_api_ray.blocking.vectorized import can_vectorize
         self.model: Model = ray.get(model_ref) if isinstance(
             model_ref, ray.ObjectRef) else model_ref
-        self.specs = [(i, s) for i, s in enumerate(self.model.predicates)
-                      if s.kind in ("simple", "compound")]
+        specs = [(i, s) for i, s in enumerate(self.model.predicates)
+                 if s.kind in ("simple", "compound")]
+        self.vec_specs = [(i, s) for i, s in specs if can_vectorize(s)]
+        self.scalar_specs = [(i, s) for i, s in specs
+                             if not can_vectorize(s)]
         self.fields = sorted({f.field for f in self.model.field_defs
                               if f.type != "Interaction"})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        rids = batch["record_id"].to_pylist()
-        cols = {}
-        names = set(batch.column_names)
-        for f in self.fields:
-            if f in names:
-                cols[f] = batch[f].to_pylist()
-            tk = f"{f}__tokens"
-            if tk in names:
-                cols[tk] = batch[tk].to_pylist()
-        out_keys: list[str] = []
-        out_ids: list[int] = []
-        for r in range(n):
-            rec = {k: v[r] for k, v in cols.items()}
-            for idx, spec in self.specs:
-                for k in _record_keys(spec, rec):
-                    out_keys.append(f"{idx}:{k}")
-                    out_ids.append(rids[r])
-        return pa.table({
-            "block_key": pa.array(out_keys, pa.string()),
-            "record_id": pa.array(out_ids, pa.int64()),
-        })
+        from dedupe_api_ray.blocking.vectorized import emit_spec
+        rids = batch["record_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        parts: list[pa.Table] = []
+        token_cache: dict = {}
+        for idx, spec in self.vec_specs:
+            keys, rows = emit_spec(spec, batch, token_cache)
+            if len(rows):
+                tagged = pa.compute.binary_join_element_wise(
+                    pa.scalar(f"{idx}:"), keys, pa.scalar(""))
+                parts.append(pa.table({
+                    "block_key": tagged,
+                    "record_id": pa.array(rids[rows], pa.int64())}))
+        if self.scalar_specs:
+            n = len(batch)
+            cols = {}
+            names = set(batch.column_names)
+            for f in self.fields:
+                if f in names:
+                    cols[f] = batch[f].to_pylist()
+                tk = f"{f}__tokens"
+                if tk in names:
+                    cols[tk] = batch[tk].to_pylist()
+            out_keys: list[str] = []
+            out_ids: list[int] = []
+            for r in range(n):
+                rec = {k: v[r] for k, v in cols.items()}
+                for idx, spec in self.scalar_specs:
+                    for k in _record_keys(spec, rec):
+                        out_keys.append(f"{idx}:{k}")
+                        out_ids.append(rids[r])
+            if out_keys:
+                parts.append(pa.table({
+                    "block_key": pa.array(out_keys, pa.string()),
+                    "record_id": pa.array(out_ids, pa.int64())}))
+        if not parts:
+            return pa.table({"block_key": pa.array([], pa.string()),
+                             "record_id": pa.array([], pa.int64())})
+        return pa.concat_tables(parts).combine_chunks()
 
 
 def fingerprint_records(records: ray.data.Dataset, model: Model,
