@@ -968,6 +968,61 @@ def _q_orders_customer_join(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_customer_left(sf_dir: str):
+    """General LEFT OUTER JOIN (stages/joins.py): every customer, with
+    their >= 400k orders attached and nulls where none exist.  Oracle:
+    the literal SQL LEFT JOIN."""
+    from dedupe_api_ray.stages.joins import left_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def high(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_totalprice"], 400000.0))
+        cents = pc.cast(_r(pc.multiply(t["o_totalprice"], 100.0), 0),
+                        pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_price_cents": cents})
+
+    return left_join(cust, orders.map_batches(high, batch_format="pyarrow"),
+                     on="c_custkey", right_on="o_custkey",
+                     right_cols=["o_orderkey", "o_price_cents"])
+
+
+def _q_events_grouped_agg(sf_dir: str):
+    """Generic grouped aggregate (stages/joins.py::grouped_agg) over a
+    COMPOSITE key: count(*)/sum/min/max/mean of value-cents per
+    (event_type, user bucket).  Mean is emitted as exact-int sum / n
+    (both sides compute the identical IEEE division)."""
+    from dedupe_api_ray.stages.joins import grouped_agg
+
+    ev = _read(sf_dir, "events",
+               columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_r(pc.multiply(t["value"], 100.0), 0), pa.int64())
+        bucket = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(7, pa.int64())),
+            pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "user_bucket": bucket, "value_cents": cents})
+
+    agg = grouped_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        keys=["event_type", "user_bucket"],
+        aggs={"n": ("*", "count"),
+              "sum_cents": ("value_cents", "sum"),
+              "min_cents": ("value_cents", "min"),
+              "max_cents": ("value_cents", "max"),
+              "mean_cents": ("value_cents", "mean")})
+    return agg.map_batches(
+        lambda t: t.set_column(t.column_names.index("mean_cents"),
+                               "mean_cents", _r(t["mean_cents"], 6)),
+        batch_format="pyarrow")
+
+
 # --- minhash / near-dup (md5 family, SQL-reproducible) ---------------------
 
 _NUM_PERM = 8
@@ -1636,6 +1691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": _q_events_interval_join,
         "q1_lineitem_agg": _q_q1_lineitem,
         "orders_customer_join": _q_orders_customer_join,
+        "orders_customer_left": _q_orders_customer_left,
+        "events_grouped_agg": _q_events_grouped_agg,
         "customer_semi_orders": _q_customer_semi_orders,
         "orders_window": _q_orders_window,
         "lineitem_rank": _q_lineitem_rank,
@@ -2308,6 +2365,27 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                    cast(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
+        "orders_customer_left": """
+            SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+                   o.o_price_cents
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, o_orderkey,
+                              cast(round(o_totalprice * 100, 0) AS BIGINT)
+                                AS o_price_cents
+                       FROM orders WHERE o_totalprice >= 400000.0) o
+              ON c.c_custkey = o.o_custkey""",
+        "events_grouped_agg": """
+            WITH prepped AS (
+              SELECT event_type, user_id & 7 AS user_bucket,
+                     cast(round(value * 100, 0) AS BIGINT) AS value_cents
+              FROM events)
+            SELECT event_type, user_bucket, count(*) AS n,
+                   cast(sum(value_cents) AS BIGINT) AS sum_cents,
+                   min(value_cents) AS min_cents,
+                   max(value_cents) AS max_cents,
+                   round(cast(sum(value_cents) AS DOUBLE)
+                         / count(value_cents), 6) AS mean_cents
+            FROM prepped GROUP BY event_type, user_bucket""",
         "minhash_bands":
             minhash_cte + "\nSELECT doc_id, band, band_key FROM bands",
         "near_dup_pairs": minhash_cte + f""",
