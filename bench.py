@@ -12,6 +12,9 @@ Headline pipelines, timed separately and summed into one metric:
                    lineitem (engine-op conformance at sf scale)
 - quantiles:       exact selection quantiles over lineitem price
                    (histogram-refine passes, no sort shuffle)
+- multimodal:      decode + featurize a deterministic synthetic media
+                   table (real PPM/BMP/WAV bytes, actor-pool stage,
+                   checksummed descriptors)
 
 Prints ONE JSON line:
   {"metric": "e2e_bench_sec", "value": <sum>, "unit": "sec",
@@ -59,6 +62,55 @@ def ensure_corpus() -> str:
     pq.write_table(data["labeled_pairs"], f"{CORPUS_DIR}/labeled_pairs.parquet")
     pq.write_table(data["gold_clusters"], f"{CORPUS_DIR}/gold_clusters.parquet")
     return path
+
+
+def ensure_media_corpus() -> str:
+    """Deterministic synthetic media table (real PPM/BMP image bytes +
+    PCM WAV audio bytes — the clean-room containers multimodal.py
+    decodes), cached in /tmp.  Binary payloads are the point: the leg
+    exercises the opaque-binary-column schema, the small-batch
+    actor-pool decode, and the fixed-width descriptor output at bench
+    scale, not 24-row test scale."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = int(os.environ.get("BENCH_MEDIA_ROWS", "40000"))
+    path = f"/tmp/dedupe_bench_media_{n}"
+    done = f"{path}/media.parquet"
+    if os.path.exists(done):
+        return done
+    from dedupe_api_ray.extras.multimodal import (encode_bmp, encode_ppm,
+                                                  encode_wav)
+    rng = np.random.RandomState(7)
+    os.makedirs(path, exist_ok=True)
+    ids, types, payloads, w, h, sr, nb = [], [], [], [], [], [], []
+    for i in range(n):
+        kind = ("image/x-portable-pixmap", "image/bmp", "audio/wav")[i % 3]
+        if kind.startswith("image"):
+            hh, ww = int(rng.randint(24, 64)), int(rng.randint(24, 64))
+            img = rng.randint(0, 256, size=(hh, ww, 3)).astype(np.uint8)
+            payload = encode_ppm(img) if kind.endswith("pixmap") \
+                else encode_bmp(img)
+            w.append(ww); h.append(hh); sr.append(-1)
+        else:
+            rate = 8000
+            t = np.arange(int(rng.randint(800, 4000))) / rate
+            freq = float(rng.randint(100, 1500))
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+            w.append(-1); h.append(-1); sr.append(rate)
+        ids.append(i); types.append(kind)
+        payloads.append(payload); nb.append(len(payload))
+    t = pa.table({"media_id": pa.array(ids, pa.int64()),
+                  "media_type": pa.array(types, pa.string()),
+                  "payload": pa.array(payloads, pa.binary()),
+                  "width": pa.array(w, pa.int32()),
+                  "height": pa.array(h, pa.int32()),
+                  "sample_rate": pa.array(sr, pa.int32()),
+                  "n_bytes": pa.array(nb, pa.int64())})
+    pq.write_table(t, done + ".tmp")
+    os.rename(done + ".tmp", done)
+    return done
 
 
 def bench_model():
@@ -254,6 +306,29 @@ def run_bench() -> dict:
     queries["quantiles"] = round(time.monotonic() - t0, 2)
     rows["quantiles"] = qt.num_rows
 
+    # ---- multimodal decode/featurize (real PPM/BMP/WAV parsers) ----------
+    from dedupe_api_ray.extras.multimodal import extract_media_features
+
+    media_path = ensure_media_corpus()
+    t0 = time.monotonic()
+    media = ray.data.read_parquet(media_path)
+    feats = extract_media_features(media, fake=False, batch_size=256,
+                                   concurrency=(1, NUM_CPUS))
+    # consume with a deterministic checksum over the descriptors so
+    # the leg has a correctness anchor (stable across parallelism)
+    import numpy as np
+    acc = np.zeros(2, np.float64)
+    for b in feats.iter_batches(batch_format="pyarrow", batch_size=4096):
+        col = b["feature"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        v = arr.flatten().to_numpy(zero_copy_only=False)
+        acc[0] += v.sum()
+        acc[1] += len(v)
+    queries["multimodal"] = round(time.monotonic() - t0, 2)
+    rows["multimodal"] = int(acc[1])
+    media_checksum = round(float(acc[0]), 6)
+
     ray.shutdown()
     total = round(sum(queries.values()), 2)
     return {"metric": "e2e_bench_sec", "value": total, "unit": "sec",
@@ -262,6 +337,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS, "bench_entities": BENCH_ENTITIES,
             "blocking_metrics": {
                 "partition": part_metrics, "minhash": mh_metrics},
+            "media_feature_checksum": media_checksum,
             "entity_map_hash": em_hash}
 
 
@@ -295,10 +371,30 @@ def run_scaling() -> None:
     # Override with BENCH_SCALE_CPUS_LO / BENCH_SCALE_CPUS_HI.
     lo = int(os.environ.get("BENCH_SCALE_CPUS_LO", "4"))
     hi = int(os.environ.get("BENCH_SCALE_CPUS_HI", "16"))
+
+    # bracket each leg with a same-minute hardware sample (ALU burn +
+    # streaming-memory burn at exactly lo and hi proc counts) so the
+    # efficiency is read against the ceiling the box delivered DURING
+    # this run, not a calibration from another day — this sandbox's
+    # capacity swings with unobservable hypervisor load (BASELINE.md).
+    # BENCH_PAIRED_CAL=0 skips (~30 s per sample).
+    cals: list[dict] = []
+
+    def cal() -> None:
+        if os.environ.get("BENCH_PAIRED_CAL", "1") != "1":
+            return
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from cpu_calibrate import paired_sample
+        cals.append(paired_sample(lo, hi))
+
+    cal()
     r_lo = run(lo)
+    cal()
     r_hi = run(hi)
+    cal()
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    print(json.dumps({
+    result = {
         "metric": "scaling_efficiency",
         f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
         f"queries_{lo}": r_lo["queries"], f"queries_{hi}": r_hi["queries"],
@@ -306,7 +402,22 @@ def run_scaling() -> None:
         "deterministic_across_parallelism":
             r_lo["entity_map_hash"] == r_hi["entity_map_hash"],
         "entity_map_hash": r_hi["entity_map_hash"],
-    }))
+    }
+    if cals:
+        key = f"max_eff_{lo}_to_{hi}"
+        alu = [c["alu"][key] for c in cals]
+        mem = [c["membw"][key] for c in cals]
+        result["calibration_samples"] = cals
+        result["hw_ceiling_alu"] = round(sum(alu) / len(alu), 3)
+        result["hw_ceiling_membw"] = round(sum(mem) / len(mem), 3)
+        # a shuffle-dominated engine leg cannot beat the membw ceiling;
+        # this ratio is the protocol's "engine vs simultaneous
+        # hardware" reading (VERDICT r4 item 4)
+        result["efficiency_vs_membw_ceiling"] = round(
+            eff / result["hw_ceiling_membw"], 3)
+        result["efficiency_vs_alu_ceiling"] = round(
+            eff / result["hw_ceiling_alu"], 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -378,6 +378,10 @@ def kmeans_fit(embeddings: ray.data.Dataset, *, k: int = 4,
                                        vec_col=vec_col, id_col=id_col,
                                        dist_dp=dist_dp, emit="partials"),
             batch_format="pyarrow", concurrency=actor_pool(), num_cpus=1)
+        # num_partitions=2, NOT shuffle_partitions(): the shuffled rows
+        # are per-block partial sums (<= k*d per block, k*d total after
+        # the merge — never vector- or corpus-sized), so the convention
+        # of 2x-CPUs partitions would only add empty-partition overhead
         agg = partials.groupby(["cid", "dim"], num_partitions=2) \
             .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
         t = pa.concat_tables(list(agg.iter_batches(

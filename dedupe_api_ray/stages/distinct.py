@@ -81,17 +81,36 @@ def grouped_distinct_count(ds: ray.data.Dataset, *,
     n_parts = shuffle_partitions(num_partitions)
 
     def combine(t: pa.Table) -> pa.Table:
-        ones = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
-        g = pa.table({**{k: t[k] for k in keys}, col: t[col],
-                      "__n": ones}) \
-            .group_by([*keys, col]).aggregate([("__n", "sum")])
-        out = pa.table({**{k: g[k] for k in keys}, col: g[col],
-                        "__n": g["__n_sum"]})
+        # probe-skip: hash-aggregating a block whose (key, col) pairs
+        # are mostly unique costs a full hash build and compresses
+        # nothing — sample the head slice first and skip the combine
+        # when fewer than ~10% of its pairs collapse (high-cardinality
+        # corpora).  Correctness is unaffected: the partition kernel
+        # sums ``__n`` either way.
+        probe_n = 1 << 16
+        do_group = True
+        if t.num_rows > probe_n * 4:
+            head = t.slice(0, probe_n).select([*keys, col])
+            g0 = head.group_by([*keys, col]).aggregate([])
+            do_group = g0.num_rows < probe_n * 0.9
+        if do_group:
+            ones = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+            g = pa.table({**{k: t[k] for k in keys}, col: t[col],
+                          "__n": ones}) \
+                .group_by([*keys, col]).aggregate([("__n", "sum")])
+            out = pa.table({**{k: g[k] for k in keys}, col: g[col],
+                            "__n": g["__n_sum"]})
+        else:
+            out = pa.table({**{k: t[k] for k in keys}, col: t[col],
+                            "__n": pa.array(
+                                np.ones(t.num_rows, np.int64),
+                                pa.int64())})
         return _tag_partition_keys(out, keys, n_parts)
 
     def kernel(g: pa.Table) -> pa.Table:
         return _distinct_partition(g, keys, col, n_rows, n_distinct)
 
-    return ds.map_batches(combine, batch_format="pyarrow") \
+    return ds.map_batches(combine, batch_format="pyarrow",
+                          batch_size=None) \
         .groupby("__part", num_partitions=n_parts) \
         .map_groups(kernel, batch_format="pyarrow")

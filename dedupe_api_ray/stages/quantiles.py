@@ -81,28 +81,63 @@ def _hist_pass(ds: ray.data.Dataset, col: str, shift: int,
                prefixes: np.ndarray | None,
                n_parts: int) -> dict[int, int]:
     """Merged histogram {bucket: count} over key >> shift, restricted
-    to rows whose key >> (shift+16) is in ``prefixes`` (sorted)."""
+    to rows whose key >> (shift+16) is in ``prefixes`` (sorted).
+
+    Shape: one dense ``np.bincount`` per BLOCK (``batch_size=None`` —
+    zero rebatching; bincount is O(rows + bins) with no sort, where
+    the old per-1024-row ``np.unique`` paid a sort per batch), emitted
+    sparse (<= 65,536 rows per surviving prefix); a narrow map-only
+    combiner folds ~64 partials per task; the driver adds up what
+    remains with one ``np.add.at``.  No groupby barrier anywhere —
+    the old tiny-merge shuffle cost a full stage turnaround per
+    refinement level."""
+    npref = len(prefixes) if prefixes is not None else 1
+    nbins = npref << 16
+    low16 = np.uint64(0xFFFF)
+
     def partial(t: pa.Table) -> pa.Table:
         k = _column_keys(t, col)
         if prefixes is not None and len(k):
             p = k >> np.uint64(shift + 16)
-            pos = np.searchsorted(prefixes, p)
-            pos = np.minimum(pos, len(prefixes) - 1)
-            k = k[prefixes[pos] == p]
-        b = k >> np.uint64(shift)
-        uniq, cnt = np.unique(b, return_counts=True)
-        return pa.table({"bucket": pa.array(uniq, pa.uint64()),
-                         "n": pa.array(cnt, pa.int64())})
+            pos = np.minimum(np.searchsorted(prefixes, p), npref - 1)
+            sel = prefixes[pos] == p
+            k, pos = k[sel], pos[sel]
+            # local slot: (prefix position << 16) | low 16 key bits
+            idx = (pos.astype(np.int64) << 16) \
+                | ((k >> np.uint64(shift)) & low16).astype(np.int64)
+        else:
+            # first level: shift == 48, so key >> shift < 2^16
+            idx = (k >> np.uint64(shift)).astype(np.int64)
+        cnt = np.bincount(idx, minlength=nbins) if len(idx) \
+            else np.zeros(0, np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"idx": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bucket", num_partitions=min(n_parts, 8)) \
-        .sum("n")
-    out: dict[int, int] = {}
-    # bounded: <= 65,536 buckets per surviving prefix
-    for t in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-        for b, n in zip(t["bucket"].to_pylist(), t["sum(n)"].to_pylist()):
-            out[int(b)] = int(n)
-    return out
+    def combine(t: pa.Table) -> pa.Table:
+        cnt = np.zeros(nbins, np.int64)
+        np.add.at(cnt, t["idx"].to_numpy(zero_copy_only=False),
+                  t["n"].to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(cnt)
+        return pa.table({"idx": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None) \
+        .map_batches(combine, batch_format="pyarrow",
+                     batch_size=1 << 22)
+    total = np.zeros(nbins, np.int64)
+    for t in agg.iter_batches(batch_format="pyarrow",
+                              batch_size=1 << 22):
+        np.add.at(total, t["idx"].to_numpy(zero_copy_only=False),
+                  t["n"].to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(total)
+    if prefixes is not None:
+        buckets = (prefixes[nz >> 16] << np.uint64(16)) \
+            | (nz & 0xFFFF).astype(np.uint64)
+    else:
+        buckets = nz.astype(np.uint64)
+    return {int(b): int(total[i]) for i, b in zip(nz, buckets)}
 
 
 def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
@@ -178,7 +213,8 @@ def exact_quantiles(ds: ray.data.Dataset, col: str, qs: list[float], *,
             return pa.table({"k": pa.array(k, pa.uint64())})
 
         parts = [t["k"].to_numpy(zero_copy_only=False)
-                 for t in ds.map_batches(keep, batch_format="pyarrow")
+                 for t in ds.map_batches(keep, batch_format="pyarrow",
+                                         batch_size=None)
                  .iter_batches(batch_format="pyarrow",
                                batch_size=1 << 20)]
         keys = np.sort(np.concatenate(parts) if parts
@@ -214,16 +250,25 @@ def _grouped_quantile_partition(g: pa.Table, keys: list[str], col: str,
         raise ValueError(
             "grouped_quantiles: NaN values present — filter them "
             "upstream (NaN has no portable sort position)")
-    # order: key, then valid rows by value with nulls LAST (vc is a
-    # dense rank over valid values only; invalid rows get +inf rank)
-    vc = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-    if valid.any():
-        vv = vals[valid]
-        import pandas as pd
-        codes, _ = pd.factorize(vv, sort=True)
-        vc[valid] = codes
+    # order: key, then valid rows by value with nulls LAST.  Numeric /
+    # temporal dtypes sort natively (numpy's stable argsort already
+    # places NaN and NaT last, and valid NaN raised above, so every
+    # trailing NaN IS a null) — no factorize pass; only object dtypes
+    # (strings) still pay a dense-rank factorize with +inf for nulls.
     from dedupe_api_ray.stages.asof import _composite_heads
-    order = np.lexsort((vc, *reversed(kcs)))
+    if np.issubdtype(vals.dtype, np.floating) \
+            or np.issubdtype(vals.dtype, np.integer) \
+            or np.issubdtype(vals.dtype, np.datetime64) \
+            or np.issubdtype(vals.dtype, np.timedelta64):
+        order = np.lexsort((vals, *reversed(kcs)))
+    else:
+        vc = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        if valid.any():
+            vv = vals[valid]
+            import pandas as pd
+            codes, _ = pd.factorize(vv, sort=True)
+            vc[valid] = codes
+        order = np.lexsort((vc, *reversed(kcs)))
     va = valid[order]
     heads = _composite_heads(kcs, order, n)
     starts = np.flatnonzero(heads)

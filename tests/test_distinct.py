@@ -46,6 +46,28 @@ def test_distinct_count_null_semantics(ray_session):
     assert list(got["n_distinct"]) == [2, 0]
 
 
+def test_distinct_count_probe_skip_path(ray_session):
+    """A block big enough to trigger the head-slice probe
+    (>4*65,536 rows) with mostly-unique pairs takes the skip branch
+    (no map-side hash agg) and must still count exactly; a duplicate-
+    heavy block of the same size takes the combine branch."""
+    import ray.data
+
+    n = (1 << 18) + 1024
+    rng = np.random.default_rng(11)
+    for v_card in (n * 4, 50):  # unique-ish → skip; heavy dups → combine
+        df = pd.DataFrame({"k": rng.integers(0, 64, n),
+                           "v": rng.integers(0, v_card, n)})
+        got = grouped_distinct_count(ray.data.from_pandas(df),
+                                     key="k", col="v").to_pandas() \
+            .set_index("k").sort_index()
+        want = df.groupby("k").agg(n_rows=("v", "size"),
+                                   n_distinct=("v", "nunique"))
+        np.testing.assert_array_equal(got["n_rows"], want["n_rows"])
+        np.testing.assert_array_equal(got["n_distinct"],
+                                      want["n_distinct"])
+
+
 def test_distinct_count_composite_key(ray_session):
     import ray.data
 

@@ -111,10 +111,24 @@ def run(cpus: int) -> dict:
 
 def main() -> None:
     synth()
+    # bracket the legs with same-minute hardware ceilings (ALU +
+    # streaming-memory profiles at exactly this pair's counts) so each
+    # op's efficiency reads against what the box delivered DURING the
+    # run — the shuffle-bound ops' ceiling is the membw one
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cpu_calibrate import paired_sample
+    cal0 = paired_sample(CPUS_LO, CPUS_HI)
     t_lo = run(CPUS_LO)
     t_hi = run(CPUS_HI)
+    cal1 = paired_sample(CPUS_LO, CPUS_HI)
     speedup_denom = CPUS_HI / CPUS_LO
+    key = f"max_eff_{CPUS_LO}_to_{CPUS_HI}"
     report = {"n_rows": N_ROWS, "cpus": [CPUS_LO, CPUS_HI],
+              "hw_ceiling_alu": round(
+                  (cal0["alu"][key] + cal1["alu"][key]) / 2, 3),
+              "hw_ceiling_membw": round(
+                  (cal0["membw"][key] + cal1["membw"][key]) / 2, 3),
+              "calibration_samples": [cal0, cal1],
               "per_op": {}}
     for k in t_lo:
         assert t_lo[k]["rows"] == t_hi[k]["rows"], k
@@ -124,9 +138,11 @@ def main() -> None:
         report["per_op"][k] = {
             f"t{CPUS_LO}": t_lo[k]["sec"], f"t{CPUS_HI}": t_hi[k]["sec"],
             "rows": t_lo[k]["rows"],
-            "scaling_efficiency": round(eff, 3)}
+            "scaling_efficiency": round(eff, 3),
+            "eff_vs_membw_ceiling": round(
+                eff / report["hw_ceiling_membw"], 3)}
     print(json.dumps(report))
-    path = "BENCH/scaling_r4_analytics.json"
+    path = "BENCH/scaling_r5_analytics.json"
     if os.path.isdir("BENCH"):
         # protocol text stays pair-agnostic: each run records its own
         # "cpus" and its efficiency divisor is cpus[1]/cpus[0]

@@ -75,12 +75,14 @@ def main() -> None:
             print(f"ROWS {name}: {len(got)} rows in {dt:.1f}s (no oracle)")
             n_rowsonly += 1
             continue
+        t1 = time.monotonic()
         try:
             want = con.sql(sql).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL raised {e}")
             n_fail += 1
             continue
+        dt_sql = time.monotonic() - t1
         problems = []
         if len(got) != len(want):
             problems.append(f"rows {len(got)} != {len(want)}")
@@ -103,7 +105,8 @@ def main() -> None:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(got)} rows in {dt:.1f}s")
+            print(f"PASS {name}: {len(got)} rows in {dt:.1f}s "
+                  f"(oracle {dt_sql:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     ray.shutdown()
