@@ -699,6 +699,23 @@ def _q_customer_anti_orders(sf_dir: str):
                      right_on="o_custkey")
 
 
+def _q_orders_splits(sf_dir: str):
+    """NTILE + PERCENT_RANK window functions (the train/eval-split
+    primitive) per customer over orders: ntile(5) by (o_orderdate,
+    o_orderkey) and tie-aware percent_rank by o_orderdate alone.
+    Oracle: the literal SQL NTILE / PERCENT_RANK window clauses."""
+    from dedupe_api_ray.stages.windows import window_over
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    nt = window_over(orders, partition_by="o_custkey",
+                     order_by=["o_orderdate", "o_orderkey"],
+                     ntile={"split": 5})
+    return window_over(nt, partition_by="o_custkey",
+                       order_by=["o_orderdate"], percent_rank="pr") \
+        .select_columns(["o_orderkey", "o_custkey", "split", "pr"])
+
+
 def _q_orders_window(sf_dir: str):
     """Per-customer window functions over orders ordered by
     (o_orderdate, o_orderkey): row_number, running price total (exact
@@ -989,6 +1006,41 @@ def _q_orders_customer_left(sf_dir: str):
     return left_join(cust, orders.map_batches(high, batch_format="pyarrow"),
                      on="c_custkey", right_on="o_custkey",
                      right_cols=["o_orderkey", "o_price_cents"])
+
+
+def _q_orders_customer_full(sf_dir: str):
+    """FULL OUTER JOIN (stages/joins.py::full_outer_join): positive-
+    balance customers x >= 400k orders — customers with no such order
+    keep null order columns, and high orders whose customer has a
+    NEGATIVE balance surface as right-unmatched rows with their
+    custkey in the shared key column (USING/COALESCE semantics).
+    Oracle: the literal SQL FULL OUTER JOIN with coalesce."""
+    from dedupe_api_ray.stages.joins import full_outer_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def pos(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["c_acctbal"], 0.0))
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"]})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def high(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_totalprice"], 400000.0))
+        cents = pc.cast(_r(pc.multiply(t["o_totalprice"], 100.0), 0),
+                        pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"],
+                         "o_price_cents": cents})
+
+    return full_outer_join(
+        cust.map_batches(pos, batch_format="pyarrow"),
+        orders.map_batches(high, batch_format="pyarrow"),
+        on="c_custkey", right_on="o_custkey",
+        right_cols=["o_orderkey", "o_price_cents"])
 
 
 def _q_events_grouped_agg(sf_dir: str):
@@ -1692,9 +1744,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": _q_q1_lineitem,
         "orders_customer_join": _q_orders_customer_join,
         "orders_customer_left": _q_orders_customer_left,
+        "orders_customer_full": _q_orders_customer_full,
         "events_grouped_agg": _q_events_grouped_agg,
         "customer_semi_orders": _q_customer_semi_orders,
         "orders_window": _q_orders_window,
+        "orders_splits": _q_orders_splits,
         "lineitem_rank": _q_lineitem_rank,
         "lineitem_price_quantiles": _q_lineitem_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
@@ -2350,6 +2404,14 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey)""",
+        "orders_splits": """
+            SELECT o_orderkey, o_custkey,
+                   cast(ntile(5) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                     AS split,
+                   percent_rank() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate) AS pr
+            FROM orders""",
         "customer_semi_orders": """
             SELECT c_custkey, c_name, c_mktsegment FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
@@ -2373,6 +2435,17 @@ FROM p1em e1 JOIN p2em e2 ON e2.record_id = e1.cluster_id""")
                               cast(round(o_totalprice * 100, 0) AS BIGINT)
                                 AS o_price_cents
                        FROM orders WHERE o_totalprice >= 400000.0) o
+              ON c.c_custkey = o.o_custkey""",
+        "orders_customer_full": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
+                   c.c_mktsegment, o.o_orderkey, o.o_price_cents
+            FROM (SELECT c_custkey, c_mktsegment FROM customer
+                  WHERE c_acctbal >= 0.0) c
+            FULL OUTER JOIN
+                 (SELECT o_custkey, o_orderkey,
+                         cast(round(o_totalprice * 100, 0) AS BIGINT)
+                           AS o_price_cents
+                  FROM orders WHERE o_totalprice >= 400000.0) o
               ON c.c_custkey = o.o_custkey""",
         "events_grouped_agg": """
             WITH prepped AS (

@@ -1,4 +1,5 @@
-"""General LEFT OUTER JOIN and a generic grouped-aggregate surface.
+"""General LEFT / FULL OUTER JOIN and a generic grouped-aggregate
+surface.
 
 The engine already has inner join (Ray ``Dataset.join``), semi/anti
 (+Bloom), as-of, interval, rollup and windows — but a training-data
@@ -63,7 +64,8 @@ def _group_ids(g: pa.Table, keys: list[str]) -> np.ndarray:
 
 def _left_join_partition(g: pa.Table, keys: list[str],
                          left_cols: list[str], right_cols: list[str],
-                         right_types: dict[str, pa.DataType]) -> pa.Table:
+                         right_types: dict[str, pa.DataType],
+                         full: bool = False) -> pa.Table:
     side = g["__side"].to_numpy(zero_copy_only=False)
     gid = _group_ids(g, keys)
     lidx = np.flatnonzero(side == 1)
@@ -99,13 +101,33 @@ def _left_join_partition(g: pa.Table, keys: list[str],
     else:
         for c in right_cols:
             out[c] = pa.nulls(total, right_types[c])
-    return pa.table(out)
+    res = pa.table(out)
+    if not full:
+        return res
+    # FULL OUTER: additionally emit right rows no left row matched —
+    # (a) valid-key right rows in groups with zero left rows, (b)
+    # null-key right rows (SQL emits them unmatched).  The key columns
+    # carry the right keys (tag_right already wrote them into the
+    # shared key columns = SQL USING/COALESCE semantics); non-key left
+    # columns were tagged null.
+    left_in_group = np.zeros(max(n_groups, 1), dtype=bool)
+    if matched.any():
+        left_in_group[lgid[matched]] = True
+    un_valid = ridx[~left_in_group[gid[ridx]]] if len(ridx) else ridx
+    un_null = np.flatnonzero((side == 0) & (gid < 0))
+    un = np.concatenate((un_valid, un_null))
+    if not len(un):
+        return res
+    ut = pa.array(un, pa.int64())
+    extra = pa.table({c: g[c].take(ut) for c in left_cols + right_cols})
+    return pa.concat_tables([res, extra]) if res.num_rows else extra
 
 
 def left_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
               on: str | list[str], right_on: str | list[str] | None = None,
               right_cols: list[str] | None = None,
-              num_partitions: int | None = None) -> ray.data.Dataset:
+              num_partitions: int | None = None,
+              _full: bool = False) -> ray.data.Dataset:
     """SQL LEFT OUTER JOIN: every left row, enriched with the matching
     right rows' ``right_cols`` (default: all non-key right columns),
     nulls where no match; composite keys supported; null keys never
@@ -161,10 +183,25 @@ def left_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
 
     def kernel(g: pa.Table) -> pa.Table:
         return _left_join_partition(g, keys, left_cols, right_cols,
-                                    right_types)
+                                    right_types, full=_full)
 
     return unioned.groupby("__part", num_partitions=n_parts) \
         .map_groups(kernel, batch_format="pyarrow")
+
+
+def full_outer_join(left: ray.data.Dataset, right: ray.data.Dataset, *,
+                    on: str | list[str],
+                    right_on: str | list[str] | None = None,
+                    right_cols: list[str] | None = None,
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """SQL FULL OUTER JOIN with USING/COALESCE key semantics: every
+    left row (nulls where no right match, multiplied by duplicate
+    matches) PLUS every unmatched right row (its keys in the shared
+    key columns, null left columns; null-key right rows emit
+    unmatched, like SQL).  Same one-shuffle shape as ``left_join``."""
+    return left_join(left, right, on=on, right_on=right_on,
+                     right_cols=right_cols, num_partitions=num_partitions,
+                     _full=True)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +292,10 @@ def grouped_agg(ds: ray.data.Dataset, *, keys: str | list[str],
                 out[o] = done[f"__{o}__{fn}"]
         return pa.table(out)
 
-    return ds.map_batches(combine, batch_format="pyarrow") \
+    # batch_size=None: combine per whole block — the per-1024-row
+    # default would pay an Arrow hash-agg per tiny batch and collapse
+    # almost nothing (same lesson as grouped_distinct_count)
+    return ds.map_batches(combine, batch_format="pyarrow",
+                          batch_size=None) \
         .groupby("__part", num_partitions=n_parts) \
         .map_groups(kernel, batch_format="pyarrow")

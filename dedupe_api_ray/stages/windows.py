@@ -44,8 +44,11 @@ def _window_partition(g: pa.Table, keys: list[str], order_by: list[str],
                       lag: dict[str, str], cumsum: dict[str, str],
                       rank: str | None = None,
                       dense_rank: str | None = None,
-                      lead: dict[str, str] | None = None) -> pa.Table:
+                      lead: dict[str, str] | None = None,
+                      ntile: dict[str, int] | None = None,
+                      percent_rank: str | None = None) -> pa.Table:
     lead = lead or {}
+    ntile = ntile or {}
     n = g.num_rows
     for c in (*keys, *order_by):
         if g[c].null_count:
@@ -75,20 +78,41 @@ def _window_partition(g: pa.Table, keys: list[str], order_by: list[str],
         c: g[c].take(take) for c in out_cols}
     if row_number is not None:
         cols[row_number] = pa.array(np.arange(n) - base + 1, pa.int64())
-    if rank is not None or dense_rank is not None:
+    if rank is not None or dense_rank is not None \
+            or percent_rank is not None:
         # tie-group head: new key OR any order column changed
         chg = heads.copy()
         for oc in ords:
             os_ = oc[order]
             if n:
                 chg[1:] |= os_[1:] != os_[:-1]
-        if rank is not None:
+        if rank is not None or percent_rank is not None:
             th = np.maximum.accumulate(
                 np.where(chg, np.arange(n), -1))
-            cols[rank] = pa.array(th - base + 1, pa.int64())
+            rk = th - base + 1
+            if rank is not None:
+                cols[rank] = pa.array(rk, pa.int64())
+            if percent_rank is not None:
+                # SQL PERCENT_RANK() = (rank-1)/(n-1), 0 for n == 1 —
+                # an exact IEEE division of two small ints, replayed
+                # identically by any SQL oracle
+                L = np.repeat(seg_len, seg_len)
+                pr = np.where(L > 1, (rk - 1) / np.maximum(L - 1, 1), 0.0)
+                cols[percent_rank] = pa.array(pr, pa.float64())
         if dense_rank is not None:
             d = np.cumsum(chg)
             cols[dense_rank] = pa.array(d - d[base] + 1, pa.int64())
+    for out, nt in ntile.items():
+        # SQL NTILE(N): first (n % N) buckets get ceil(n/N) rows, the
+        # rest floor(n/N) — pure segment arithmetic per row
+        L = np.repeat(seg_len, seg_len)
+        pos = np.arange(n) - base  # 0-based within segment
+        q, r = L // nt, L % nt
+        cut = r * (q + 1)
+        small = pos < cut
+        vals = np.where(small, pos // np.maximum(q + 1, 1),
+                        r + (pos - cut) // np.maximum(q, 1)) + 1
+        cols[out] = pa.array(vals.astype(np.int64), pa.int64())
     for out, src in cumsum.items():
         col = g[src]
         if col.null_count:
@@ -128,6 +152,8 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str | list[str],
                 rank: str | None = None,
                 dense_rank: str | None = None,
                 lead: dict[str, str] | None = None,
+                ntile: dict[str, int] | None = None,
+                percent_rank: str | None = None,
                 num_partitions: int | None = None) -> ray.data.Dataset:
     """Append window columns computed over
     ``PARTITION BY partition_by ORDER BY *order_by``.  ``partition_by``
@@ -143,6 +169,11 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str | list[str],
     value, null at segment heads / tails.
     ``cumsum``: {out_col: src_col} — inclusive running sum
     (``ROWS UNBOUNDED PRECEDING``), exact for integer sources.
+    ``ntile``: {out_col: N} — SQL NTILE(N) bucket 1..N (the
+    train/eval-split primitive); position-based, so pass a unique
+    final order column for deterministic output.
+    ``percent_rank``: output column for SQL PERCENT_RANK() =
+    (rank-1)/(n-1), 0.0 for single-row partitions; tie-aware.
     Output carries every input column plus the window columns.
     """
     from dedupe_api_ray.utils import shuffle_partitions
@@ -153,13 +184,20 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str | list[str],
     lag = dict(lag or {})
     lead = dict(lead or {})
     cumsum = dict(cumsum or {})
-    named = [c for c in (row_number, rank, dense_rank) if c is not None]
-    if not named and not lag and not lead and not cumsum:
+    ntile = dict(ntile or {})
+    for out, nt in ntile.items():
+        if not isinstance(nt, int) or nt < 1:
+            raise ValueError(f"window_over: ntile[{out!r}] must be a "
+                             f"positive int, got {nt!r}")
+    named = [c for c in (row_number, rank, dense_rank, percent_rank)
+             if c is not None]
+    if not named and not lag and not lead and not cumsum and not ntile:
         raise ValueError("window_over: nothing to compute")
     n_parts = shuffle_partitions(num_partitions)
     schema = _arrow_schema(ds)
     out_cols = list(schema.names)
-    clash = [c for c in (*named, *lag, *lead, *cumsum) if c in out_cols]
+    clash = [c for c in (*named, *lag, *lead, *cumsum, *ntile)
+             if c in out_cols]
     if clash:
         raise ValueError(f"window_over: output columns {clash} already "
                          "exist on the input")
@@ -174,7 +212,7 @@ def window_over(ds: ray.data.Dataset, *, partition_by: str | list[str],
     def kernel(g: pa.Table) -> pa.Table:
         return _window_partition(g, keys, order_by, out_cols,
                                  row_number, lag, cumsum, rank,
-                                 dense_rank, lead)
+                                 dense_rank, lead, ntile, percent_rank)
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__part", num_partitions=n_parts) \

@@ -9,7 +9,8 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from dedupe_api_ray.stages.joins import grouped_agg, left_join
+from dedupe_api_ray.stages.joins import (full_outer_join, grouped_agg,
+                                         left_join)
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -87,6 +88,62 @@ def test_left_join_deterministic_across_layout(ray_session, tables):
                         ray.data.from_arrow(right).repartition(nblocks),
                         on=["k1", "k2"], right_on=["rk1", "k2"],
                         num_partitions=4).to_pandas()
+        outs.append(_canon(got))
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_full_outer_join_duckdb_parity(ray_session, tables):
+    left, right = tables
+    got = full_outer_join(ray.data.from_arrow(left).repartition(5),
+                          ray.data.from_arrow(right).repartition(3),
+                          on=["k1", "k2"],
+                          right_on=["rk1", "k2"]).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    # engine key columns carry COALESCE(l, r) keys (USING semantics);
+    # l.id is never null in the fixture, so it marks the side
+    want = con.sql(
+        "SELECT l.id, "
+        "CASE WHEN l.id IS NULL THEN r.rk1 ELSE l.k1 END AS k1, "
+        "CASE WHEN l.id IS NULL THEN r.k2 ELSE l.k2 END AS k2, "
+        "l.lv, r.rv FROM l FULL OUTER JOIN r "
+        "ON l.k1 = r.rk1 AND l.k2 = r.k2").df()
+    cast = {"rv": "float64", "id": "float64", "lv": "float64",
+            "k1": "float64"}
+    g = _canon(got[want.columns.tolist()]).astype(cast)
+    w = _canon(want).astype(cast)
+    assert g.equals(w)
+
+
+def test_full_outer_join_null_key_rows_emit_unmatched(ray_session):
+    left = pa.table({"k": pa.array([1, None], pa.int64()),
+                     "v": pa.array(["a", "b"])})
+    right = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                      "rv": pa.array([10, 99, 30], pa.int64())})
+    got = full_outer_join(ray.data.from_arrow(left),
+                          ray.data.from_arrow(right), on="k").to_pandas()
+    got = _canon(got)
+    assert len(got) == 4  # a-10 matched, b null-key left, 99 + 30 right
+    m = got[got["v"] == "a"]
+    assert list(m["rv"]) == [10]
+    assert pd.isna(got[got["v"] == "b"]["rv"]).all()
+    un = got[got["v"].isna()]
+    assert sorted(un["rv"]) == [30, 99]
+    # right-unmatched rows carry their key (USING/COALESCE), null for
+    # the null-key right row
+    assert sorted(un["k"].fillna(-1)) == [-1, 3]
+
+
+def test_full_outer_join_deterministic_across_layout(ray_session, tables):
+    left, right = tables
+    outs = []
+    for nblocks in (1, 4, 9):
+        got = full_outer_join(
+            ray.data.from_arrow(left).repartition(nblocks),
+            ray.data.from_arrow(right).repartition(nblocks),
+            on=["k1", "k2"], right_on=["rk1", "k2"],
+            num_partitions=4).to_pandas()
         outs.append(_canon(got))
     assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
 

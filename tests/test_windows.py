@@ -108,6 +108,51 @@ def test_window_rank_dense_rank(ray_session):
                                   want_d.to_numpy())
 
 
+def test_window_ntile_percent_rank_duckdb_parity(ray_session):
+    import duckdb
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({"k": rng.integers(0, 7, 500),
+                       "v": rng.integers(0, 9, 500),  # ties for pr
+                       "uid": np.arange(500)})
+    # ntile is position-based → unique final order column; pr is
+    # tie-aware → order by the tied column alone, exercising ties
+    got_nt = window_over(ray.data.from_pandas(df), partition_by="k",
+                         order_by=["v", "uid"],
+                         ntile={"nt": 4}).to_pandas() \
+        .sort_values("uid").reset_index(drop=True)
+    got_pr = window_over(ray.data.from_pandas(df), partition_by="k",
+                         order_by=["v"],
+                         percent_rank="pr").to_pandas() \
+        .sort_values("uid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT uid, ntile(4) OVER w AS nt, percent_rank() OVER "
+        "(PARTITION BY k ORDER BY v) AS pr FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY v, uid) "
+        "ORDER BY uid").df()
+    np.testing.assert_array_equal(got_nt["nt"].to_numpy(),
+                                  want["nt"].to_numpy())
+    np.testing.assert_allclose(got_pr["pr"].to_numpy(),
+                               want["pr"].to_numpy(), rtol=0, atol=0)
+
+
+def test_window_ntile_small_partitions(ray_session):
+    import ray.data
+
+    # n < N: every row its own bucket, pos+1; single row: pr = 0.0
+    df = pd.DataFrame({"k": [1, 1, 2], "o": [5, 3, 9],
+                       "uid": [0, 1, 2]})
+    got = window_over(ray.data.from_pandas(df), partition_by="k",
+                      order_by=["o"], ntile={"nt": 10},
+                      percent_rank="pr").to_pandas() \
+        .sort_values("uid").reset_index(drop=True)
+    assert list(got["nt"]) == [2, 1, 1]
+    assert list(got["pr"]) == [1.0, 0.0, 0.0]
+
+
 def test_window_lead(ray_session):
     import ray.data
 
